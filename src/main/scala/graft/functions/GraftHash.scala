@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static hash kernels, callable both from interpreted `eval` paths and from
+  * whole-stage-generated Java (a generated-code call to a static method keeps
+  * the surrounding operators inside one codegen stage).
+  *
+  * All algorithms below are public-domain / published:
+  *  - murmur2: Austin Appleby's MurmurHash2, the variant Kafka uses for key
+  *    partitioning (seed 0x9747b28c). The reference's
+  *    HashFunctionPartitioner (api/partitioner/HashFunctionPartitioner.java:15-49)
+  *    delegates to the Kafka client's murmur2 — we reimplement the published
+  *    algorithm, we do not copy code.
+  *  - splitmix64: Steele/Lea/Flood, "Fast Splittable Pseudorandom Number
+  *    Generators" (OOPSLA 2014) — used to derive k independent hash families
+  *    for MinHash from one base hash.
+  *  - FNV-1a 64-bit: Fowler/Noll/Vo, public domain.
+  */
+object GraftHash {
+
+  /** MurmurHash2 (32-bit) over a byte array, Kafka-compatible parameters. */
+  def murmur2(data: Array[Byte]): Int = {
+    val length = data.length
+    val seed = 0x9747b28c
+    val m = 0x5bd1e995
+    val r = 24
+    var h = seed ^ length
+    val n4 = length & ~3
+    var i = 0
+    while (i < n4) {
+      var k = (data(i) & 0xff) |
+        ((data(i + 1) & 0xff) << 8) |
+        ((data(i + 2) & 0xff) << 16) |
+        ((data(i + 3) & 0xff) << 24)
+      k *= m
+      k ^= k >>> r
+      k *= m
+      h *= m
+      h ^= k
+      i += 4
+    }
+    val rem = length & 3
+    if (rem == 3) h ^= (data(n4 + 2) & 0xff) << 16
+    if (rem >= 2) h ^= (data(n4 + 1) & 0xff) << 8
+    if (rem >= 1) { h ^= data(n4) & 0xff; h *= m }
+    h ^= h >>> 13
+    h *= m
+    h ^= h >>> 15
+    h
+  }
+
+  def murmur2(s: UTF8String): Int = murmur2(s.getBytes)
+
+  /** Kafka's partition-from-key rule: murmur2 masked non-negative, mod n.
+    * Mirrors the semantics of the reference's murmur2 sub-partitioner
+    * (HashFunctionPartitioner.java:29-38: hash of "key:partition" mod count). */
+  def murmur2NonNegativeMod(s: UTF8String, n: Int): Int =
+    (murmur2(s) & 0x7fffffff) % n
+
+  /** splitmix64 finalizer — a strong 64-bit mixer. */
+  def mix64(zIn: Long): Long = {
+    var z = zIn
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a 64-bit over UTF-8 bytes. */
+  def fnv1a64(data: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < data.length) {
+      h ^= (data(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  def fnv1a64(s: UTF8String): Long = fnv1a64(s.getBytes)
+
+  /** MinHash signature: k minima over k splitmix64-derived hash families
+    * applied to each element's base FNV hash. Returns a primitive long array
+    * wrapped as Spark ArrayData (no boxing, Tungsten-friendly).
+    *
+    * Standard MinHash (Broder 1997, "On the resemblance and containment of
+    * documents"): P[min_h(A) == min_h(B)] = Jaccard(A, B).
+    */
+  def minHashSignature(tokens: ArrayData, k: Int, seed: Long): ArrayData = {
+    val n = tokens.numElements()
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val base = fnv1a64(tokens.getUTF8String(i))
+        var j = 0
+        while (j < k) {
+          val h = mix64(base ^ mix64(seed + j))
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  /** 64-bit SimHash (Charikar 2002, "Similarity estimation techniques from
+    * rounding algorithms"): per-token 64-bit hash votes on each bit plane. */
+  def simHash64(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = mix64(fnv1a64(tokens.getUTF8String(i)))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Polynomial rolling fingerprint (Karp–Rabin style) over UTF-8 bytes:
+    * h = Σ byte_i * B^(len-1-i) in Z_2^64, B = 1000003. Order-sensitive,
+    * concat-composable — the classic document-fingerprint primitive. */
+  def rollingFingerprint(s: UTF8String): Long = {
+    val data = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < data.length) {
+      h = h * 1000003L + (data(i) & 0xffL)
+      i += 1
+    }
+    h
+  }
+
+  /** Hamming distance between two 64-bit fingerprints (for SimHash dedup). */
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}

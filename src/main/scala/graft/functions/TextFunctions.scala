@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data pipeline operators
+  * (language ID, quality scoring, token counting, shingling). All built from
+  * codegen'd `org.apache.spark.sql.functions` so they fuse into whole-stage
+  * codegen; nothing here shuffles.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer. `split` on \s+ after trim — matches the DuckDB
+    * oracle's string_split semantics on single-space-separated text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token count (whitespace tokens). Empty string counts 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** BPE-ish subword token count: count of maximal runs matched by a
+    * wordpiece-flavored regex (letters runs, digit runs, other glyph runs).
+    * A cheap, deterministic proxy for an LLM tokenizer's token count. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Word n-grams over whitespace tokens (for shingle-based MinHash).
+    * transform(sequence(...)) keeps this fully inside Catalyst. */
+  def wordNGrams(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(t) - lit(n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+  }
+
+  /** Distinct whitespace tokens (for token-set Jaccard). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Jaccard similarity of two token-set columns (double in [0,1]). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
+  // Tiny per-language stopword profiles: high-frequency closed-class words.
+  // Public linguistic knowledge; enough for an n-gram/stopword heuristic.
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "para"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "pour", "que", "dans", "sur"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "人", "这"))
+
+  /** Count of tokens that belong to a fixed stopword list. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+
+  /** Heuristic language ID: argmax of per-language stopword hits, 'und'
+    * (undetermined) when no profile matches. Deterministic tie-break by
+    * language code order. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(stopwordHits(toks, words).as("hits"), lit(lang).as("lang"))
+    }
+    // array_max picks highest hits; ties resolve to lexicographically LAST
+    // lang at equal hits, so invert: sort_array desc on (hits, negated lang)
+    // is messy — instead use aggregate to keep first-wins-on-tie semantics.
+    val best = scored.reduceLeft { (a, b) =>
+      when(b.getField("hits") > a.getField("hits"), b).otherwise(a)
+    }
+    when(best.getField("hits") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Quality score in [0,1]: blend of length band, mean word length band,
+    * stopword ratio, and lexical diversity — the standard cheap heuristics
+    * for pretraining-corpus filtering (Gopher/C4-style rules). */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val nChars = length(text).cast("double")
+    val meanWordLen = when(nTok === 0, lit(0.0))
+      .otherwise((nChars - (nTok - 1)) / nTok) // chars minus separators
+    val stopRatio = when(nTok === 0, lit(0.0))
+      .otherwise(stopwordHits(toks, stopwords("en")).cast("double") / nTok)
+    val diversity = when(nTok === 0, lit(0.0))
+      .otherwise(size(array_distinct(toks)).cast("double") / nTok)
+    val lenOk = when(nTok >= 10 && nTok <= 1000, lit(1.0)).otherwise(lit(0.0))
+    val wordLenOk = when(meanWordLen >= 2.0 && meanWordLen <= 12.0, lit(1.0))
+      .otherwise(lit(0.0))
+    round(lenOk * 0.25 + wordLenOk * 0.25
+      + least(stopRatio * lit(5.0), lit(1.0)) * 0.2
+      + diversity * 0.3, 4)
+  }
+}

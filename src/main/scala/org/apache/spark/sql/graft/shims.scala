@@ -1,0 +1,24 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's `private[sql]` surface — the one place the engine
+  * touches non-public API. Everything else builds on the public DataFrame /
+  * Catalyst-expression contracts; this shim only converts Column <->
+  * Expression (needed to expose custom codegen expressions as user-facing
+  * `Column`s) and registers SQL function names. Living in the
+  * `org.apache.spark.sql` namespace for access is the established pattern for
+  * Spark-native extension libraries.
+  */
+object GraftShims {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a SQL function name building a custom expression. */
+  def registerFunction(spark: SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+}

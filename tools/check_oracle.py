@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Local pre-validation of SparkEntry oracles (mimics the driver's check).
+
+Usage: python3 tools/check_oracle.py /tmp/verify_out /root/testdata/sf0.01
+Loads each <outDir>/<name> parquet result, runs oracle_sql.json[name] in
+DuckDB with the sf tables registered as views, sorts both frames by all
+columns, and compares values.
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize lists to tuples for sorting/compare
+    for c in df.columns:
+        if df[c].map(lambda v: isinstance(v, (list, tuple)) or
+                     hasattr(v, "tolist") and not isinstance(v, str),
+                     na_action="ignore").any():
+            df[c] = df[c].map(lambda v: tuple(v.tolist())
+                              if hasattr(v, "tolist") else
+                              (tuple(v) if isinstance(v, (list, tuple)) else v),
+                              na_action="ignore")
+    key = df.astype(str)
+    order = key.sort_values(by=list(df.columns)).index
+    return df.loc[order].reset_index(drop=True)
+
+
+def eq(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+
+def main(outdir: str, sfdir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    fails = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            got = canon(pd.read_parquet(f"{outdir}/{name}"))
+        except Exception as e:
+            print(f"FAIL {name}: spark result unreadable: {e}")
+            fails += 1
+            continue
+        try:
+            want = canon(con.execute(sql).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            fails += 1
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} "
+                  f"vs {list(want.columns)}")
+            fails += 1
+            continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
+            fails += 1
+            continue
+        bad = None
+        for i in range(len(got)):
+            for c in got.columns:
+                if not eq(got.at[i, c], want.at[i, c]):
+                    bad = (i, c, got.at[i, c], want.at[i, c])
+                    break
+            if bad:
+                break
+        if bad:
+            print(f"FAIL {name}: row {bad[0]} col {bad[1]}: "
+                  f"spark={bad[2]!r} duck={bad[3]!r}")
+            fails += 1
+        else:
+            print(f"ok   {name} ({len(got)} rows)")
+    # rows-only queries
+    import os
+    for name in sorted(os.listdir(outdir)):
+        if name == "oracle_sql.json" or name in oracles:
+            continue
+        try:
+            n = len(pd.read_parquet(f"{outdir}/{name}"))
+            print(f"rows {name} ({n} rows)")
+        except Exception as e:
+            print(f"FAIL {name}: unreadable: {e}")
+            fails += 1
+    print(f"{'ALL OK' if fails == 0 else f'{fails} FAILURES'}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
