@@ -160,15 +160,24 @@ object GraftFunctions {
   def hamming(a: Column, b: Column): Column =
     toCol(HammingDistance64(toExpr(a), toExpr(b)))
 
-  /** Register SQL names so `spark.sql("SELECT graft_cosine(a,b) ...")` works. */
+  /** Register SQL names so `spark.sql("SELECT graft_cosine(a,b) ...")` works.
+    * SQL literals arrive untyped-coerced (these expressions declare no
+    * inputTypes — AbstractDataType is private[sql]), so builders cast
+    * arguments to the expected types explicitly. */
   def register(spark: SparkSession): Unit = {
-    GraftShims.registerFunction(spark, "graft_murmur2", es => Murmur2(es.head))
+    def asStr(e: Expression) = Cast(e, StringType)
+    def asLong(e: Expression) = Cast(e, LongType)
+    def asFloats(e: Expression) = Cast(e, ArrayType(FloatType))
+    def asStrs(e: Expression) = Cast(e, ArrayType(StringType))
+    GraftShims.registerFunction(spark, "graft_murmur2",
+      es => Murmur2(asStr(es.head)))
     GraftShims.registerFunction(spark, "graft_cosine",
-      es => CosineSimilarity(es(0), es(1)))
-    GraftShims.registerFunction(spark, "graft_simhash", es => SimHash64(es.head))
+      es => CosineSimilarity(asFloats(es(0)), asFloats(es(1))))
+    GraftShims.registerFunction(spark, "graft_simhash",
+      es => SimHash64(asStrs(es.head)))
     GraftShims.registerFunction(spark, "graft_fingerprint",
-      es => RollingFingerprint(es.head))
+      es => RollingFingerprint(asStr(es.head)))
     GraftShims.registerFunction(spark, "graft_hamming",
-      es => HammingDistance64(es(0), es(1)))
+      es => HammingDistance64(asLong(es(0)), asLong(es(1))))
   }
 }

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+/** Column-level behavior of the custom Catalyst expressions, through real
+  * Spark plans (so both codegen and eval paths are exercised).
+  */
+class ExpressionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("cosineSimilarity: identical=1, orthogonal=0, known value") {
+    val df = Seq(
+      (Array(1f, 0f, 0f), Array(1f, 0f, 0f)),   // same → 1
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),   // orthogonal → 0
+      (Array(1f, 2f, 3f), Array(4f, 5f, 6f)),   // 32/(sqrt(14)*sqrt(77))
+      (Array(0f, 0f, 0f), Array(1f, 1f, 1f))    // zero vector → 0
+    ).toDF("a", "b")
+    val got = df.select(
+      round(GraftFunctions.cosineSimilarity($"a", $"b"), 6).as("c"))
+      .as[Double].collect().toSeq
+    val expected3 = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(got == Seq(1.0, 0.0, math.rint(expected3 * 1e6) / 1e6, 0.0))
+  }
+
+  test("murmur2Mod column stays in range and is stable across plans") {
+    val df = (0 until 1000).map(i => s"key-$i").toDF("k")
+    val a = df.select(GraftFunctions.murmur2Mod($"k", 32).as("m"))
+      .as[Int].collect()
+    assert(a.forall(m => m >= 0 && m < 32))
+    // same values through a different (non-codegen-fused) plan shape
+    val b = df.repartition(7).select(
+      GraftFunctions.murmur2Mod($"k", 32).as("m")).as[Int].collect()
+    assert(a.sorted.toSeq == b.sorted.toSeq)
+  }
+
+  test("sql registration: graft_cosine / graft_hamming work in SQL text") {
+    GraftFunctions.register(spark)
+    Seq((Array(1f, 2f), Array(2f, 4f))).toDF("a", "b")
+      .createOrReplaceTempView("v")
+    val c = spark.sql("SELECT round(graft_cosine(a, b), 6) c FROM v")
+      .as[Double].head()
+    assert(c == 1.0)
+    val h = spark.sql("SELECT graft_hamming(7, 0) h").as[Int].head()
+    assert(h == 3)
+  }
+
+  test("minhash column: equal inputs → equal signatures") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("a", "b", "c")),
+      (3L, Seq("x", "y", "z"))).toDF("id", "toks")
+    val sigs = df.select($"id", GraftFunctions.minhash($"toks", 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    assert(sigs(1L).length == 16)
+  }
+
+  test("fingerprint/simhash columns run end-to-end") {
+    val r = Seq("the quick brown fox").toDF("t").select(
+      GraftFunctions.fingerprint($"t").as("fp"),
+      GraftFunctions.simhash(split($"t", " ")).as("sh"))
+      .as[(Long, Long)].head()
+    assert(r._1 == GraftHash.rollingFingerprint(
+      org.apache.spark.unsafe.types.UTF8String.fromString("the quick brown fox")))
+  }
+}

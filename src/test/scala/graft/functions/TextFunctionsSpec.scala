@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+class TextFunctionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("tokenCount: whitespace tokens, empty → 0") {
+    val r = Seq("a b  c", "", "  ", "one").toDF("t")
+      .select(TextFunctions.tokenCount(col("t")).as("n")).as[Int].collect()
+    assert(r.toSeq == Seq(3, 0, 0, 1))
+  }
+
+  test("wordNGrams: sliding n-grams; short text → empty") {
+    val r = Seq("a b c d", "a b").toDF("t")
+      .select(TextFunctions.wordNGrams(col("t"), 3).as("g"))
+      .as[Seq[String]].collect()
+    assert(r(0) == Seq("a b c", "b c d"))
+    assert(r(1) == Seq.empty)
+  }
+
+  test("jaccard of token sets") {
+    val df = Seq(("a b c", "b c d")).toDF("x", "y")
+    val j = df.select(TextFunctions.jaccard(
+      TextFunctions.tokenSet(col("x")), TextFunctions.tokenSet(col("y"))).as("j"))
+      .as[Double].head()
+    assert(j == 0.5)   // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("regexTokenCount splits letter/digit/punct runs") {
+    val r = Seq("hello world42!", "a,b").toDF("t")
+      .select(TextFunctions.regexTokenCount(col("t")).as("n")).as[Int].collect()
+    assert(r.toSeq == Seq(4, 3))   // hello|world|42|! ; a|,|b
+  }
+
+  test("langId identifies real sentences by stopword profile") {
+    val r = Seq(
+      "the cat sat on a mat and it is warm in the sun",
+      "der Hund ist nicht mit der Katze zu Hause und das ist gut",
+      "el perro y el gato en la casa con un amigo por la tarde",
+      "zzz qqq xxx www").toDF("t")
+      .select(TextFunctions.langId(col("t")).as("l")).as[String].collect()
+    assert(r.toSeq == Seq("en", "de", "es", "und"))
+  }
+
+  test("qualityScore is in [0,1] and rewards normal prose") {
+    val r = Seq(
+      "the quick brown fox jumps over a lazy dog and it runs far away today",
+      "x").toDF("t")
+      .select(TextFunctions.qualityScore(col("t")).as("q")).as[Double].collect()
+    assert(r.forall(q => q >= 0.0 && q <= 1.0))
+    assert(r(0) > r(1))
+  }
+}

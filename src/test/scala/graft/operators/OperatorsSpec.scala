@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup of 1
+    (4L, "completely different text about spark engines running fast"),
+    (5L, "unrelated words describing nothing in particular today")
+  ).toDF("doc_id", "text")
+
+  test("exactDuplicates finds the exact group, keeps min id as canonical") {
+    val r = Dedup.exactDuplicates(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r == Set((2L, 1L, 2L)))
+  }
+
+  test("minhashLsh finds planted near-dups and nothing else") {
+    val r = Dedup.minhashLsh(docs, col("doc_id"), col("text"),
+        shingleSize = 2, numHashes = 64, bands = 32, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(r.contains((1L, 2L)))   // identical → jaccard 1.0
+    assert(r.contains((1L, 3L)) && r.contains((2L, 3L))) // near dup
+    assert(!r.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhashPairs: identical docs at hamming 0") {
+    val r = Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(r.exists(t => t._1 == 1L && t._2 == 2L && t._3 == 0))
+  }
+
+  test("tokenJaccardPairs respects blocking") {
+    val blocked = docs.withColumn("grp", when(col("doc_id") <= 2, "a").otherwise("b"))
+    val r = Dedup.tokenJaccardPairs(blocked, col("doc_id"), col("text"),
+        block = Seq(col("grp")), threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(r == Set((1L, 2L)))     // 1-3 pair is cross-block → excluded
+  }
+
+  test("embeddingNearDup finds same-direction vectors within block") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f), 0), (2L, Array(2f, 0f, 0f), 0),
+      (3L, Array(0f, 1f, 0f), 0), (4L, Array(1f, 0f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Dedup.embeddingNearDup(vecs, col("vec_id"), col("embedding"),
+        col("label"), threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(r == Set((1L, 2L)))     // 1-4 same direction but cross-label
+  }
+}
+
+class SubpartitionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val df = (0 until 400)
+    .map(i => (i.toLong, s"k${i % 40}", i % 4)).toDF("id", "key", "part")
+
+  test("byKeyHash: in range, same key → same subpartition") {
+    val r = Subpartitions.byKeyHash(df, col("key"), 8)
+      .select("key", "subpartition").as[(String, Int)].collect()
+    assert(r.forall(t => t._2 >= 0 && t._2 < 8))
+    assert(r.groupBy(_._1).values.forall(g => g.map(_._2).distinct.length == 1))
+    // kafka-compatible variant: same invariants
+    val k = Subpartitions.byKeyHash(df, col("key"), 8, kafkaCompatible = true)
+      .select("key", "subpartition").as[(String, Int)].collect()
+    assert(k.forall(t => t._2 >= 0 && t._2 < 8))
+    assert(k.groupBy(_._1).values.forall(g => g.map(_._2).distinct.length == 1))
+  }
+
+  test("roundRobin: perfectly balanced within each source partition") {
+    val r = Subpartitions.roundRobin(df, col("part"), 5, col("id").asc)
+      .groupBy("part", "subpartition").count()
+      .as[(Int, Int, Long)].collect()
+    // 100 rows per part over 5 subpartitions → exactly 20 each
+    assert(r.forall(_._3 == 20L))
+    assert(r.length == 4 * 5)
+  }
+
+  test("default: single subpartition") {
+    val r = Subpartitions.default(df).select("subpartition")
+      .distinct().as[Int].collect().toSeq
+    assert(r == Seq(0))
+  }
+}
+
+class MergeStreamsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("golden merge: reference MergerTest timestamp sequence") {
+    // MergerTest.java:88-134 golden case: paired partitions of two topics
+    // merge into ascending-timestamp order. Timestamps from the test.
+    val t1 = Seq(10000L, 50000L, 90000L, 130000L).map(("t1", _))
+    val t2 = Seq(30000L, 70000L, 110000L, 120000L, 140000L).map(("t2", _))
+    val a = t1.toDF("src", "ts")
+    val b = t2.toDF("src", "ts")
+    val merged = MergeStreams.merged(a, b, col("ts"), col("src"))
+      .orderBy("emit_seq").select("ts").as[Long].collect().toSeq
+    assert(merged == Seq(10000L, 30000L, 50000L, 70000L, 90000L,
+      110000L, 120000L, 130000L, 140000L))
+  }
+
+  test("paired watermark: record emittable iff other stream has passed it") {
+    val a = Seq(10L, 50L).map(("a", _))
+    val b = Seq(30L, 70L).map(("b", _))
+    val m = MergeStreams.withPairedWatermark(
+      MergeStreams.merged(a.toDF("src", "ts"), b.toDF("src", "ts"),
+        col("ts"), col("src")),
+      col("src"), col("ts"))
+    val rows = m.orderBy("emit_seq")
+      .select("ts", "src", "wm_a", "wm_b")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    // at ts=30 (stream b), stream a's watermark is 10: a-record 10 emittable
+    assert(rows(1) == ((30L, "b", Some(10L), Some(30L))))
+  }
+}
+
+class DeadLetterSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("split: first matching rule wins; ok side is clean") {
+    val df = Seq(
+      (1L, -5.0, "click"), (2L, 1.0, "error"), (3L, 2.0, "view"),
+      (4L, -1.0, "error")).toDF("id", "value", "etype")
+    val rules = Seq(
+      "neg" -> (col("value") < 0),
+      "err" -> (col("etype") === "error"))
+    val (ok, dead) = DeadLetter.split(df, rules)
+    assert(ok.select("id").as[Long].collect().toSet == Set(3L))
+    val d = dead.select("id", "error").as[(Long, String)].collect().toMap
+    assert(d == Map(1L -> "neg", 2L -> "err", 4L -> "neg"))
+    assert(!ok.columns.contains("error"))
+  }
+}
+
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0f, 1f)),
+    (3L, Array(-1f, 0f)), (4L, Array(0.5f, 0.5f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine desc") {
+    val r = Similarity.bruteForceTopK(
+        corpus.filter(col("vec_id") === 0L), corpus, k = 2)
+      .select("cand_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    // nearest to (1,0): vec 1 (cos~0.994), then vec 4 (cos~0.707)
+    assert(r.map(_._1).toSeq == Seq(1L, 4L))
+  }
+
+  test("ivfTopK returns ranked neighbors from probed buckets only") {
+    val e = (0 until 100).map { i =>
+      val ang = i * math.Pi / 50
+      (i.toLong, Array(math.cos(ang).toFloat, math.sin(ang).toFloat))
+    }.toDF("vec_id", "embedding")
+    val idx = Similarity.ivfIndex(e, centroidStride = 10)
+    val r = Similarity.ivfTopK(e.filter(col("vec_id") === 0L), idx, e,
+        centroidStride = 10, nProbe = 3, k = 3)
+      .select("cand_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    // neighbors of angle 0 are angles ±1 step: ids 1 and 99
+    assert(r.map(_._1).toSet.intersect(Set(1L, 99L)).nonEmpty)
+    assert(r.length == 3)
+  }
+}
+
+class MultimodalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("extractMeta: deterministic stub decode + md5 digest") {
+    val docs = Seq((1L, "hello world"), (2L, "x" * 100)).toDF("doc_id", "text")
+    val media = Multimodal.asBinaryPayload(docs, col("doc_id"), col("text"),
+      when(col("doc_id") === 1, "image").otherwise("video"))
+    val r = Multimodal.extractMeta(media).collect().map(m => m.doc_id -> m).toMap
+    assert(r(1L).n_bytes == 11L)
+    assert(r(1L).width == 16 + 11 % 64 && r(1L).height == 16 + (11 / 64) % 64)
+    assert(r(1L).frames == 1)                   // image
+    assert(r(2L).frames == 1 + 100 % 30)        // video
+    assert(r(1L).digest == "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
+  }
+
+  test("sampleFrames strides over video frames only") {
+    val meta = Seq((1L, "video", 10), (2L, "image", 1))
+      .toDF("doc_id", "media_type", "frames")
+    val r = Multimodal.sampleFrames(meta, stride = 3)
+      .select("doc_id", "n_sampled").as[(Long, Int)].collect()
+    assert(r.toSeq == Seq((1L, 4)))             // frames 0,3,6,9
+  }
+}
