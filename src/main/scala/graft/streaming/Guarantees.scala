@@ -1,0 +1,31 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.operators.DeadLetter
+
+/** Processing-guarantee semantics of the reference
+  * (api/record/RecordProcessingGuarantee.java:9-19):
+  *
+  *  - `at_least_once`: a failure kills the instance; uncommitted records
+  *    replay on restart. Spark equivalent needs NO code: a checkpointed
+  *    streaming query over a replayable source IS at-least-once — an
+  *    exception in any batch stops the query and the un-committed batch
+  *    replays on restart. (Exactly-once with idempotent sinks is a strict
+  *    upgrade the reference cannot give.)
+  *
+  *  - `none`: a failing record is logged + skipped. Engine form: classify
+  *    records with vectorized predicates and split the batch into an ok
+  *    frame and a dead-letter frame, so the query keeps running and
+  *    failures are observable data (impl/record/RecordStatusObserverImpl
+  *    .java:39-47 logs-and-continues the same way).
+  */
+object Guarantees {
+
+  /** `none`-guarantee batch handler: returns (ok, deadLetter) frames for a
+    * micro-batch; wire inside `foreachBatch { (b, _) => ... }` writing each
+    * side to its sink. */
+  def skipOnFailure(batch: DataFrame,
+                    rules: Seq[(String, Column)]): (DataFrame, DataFrame) =
+    DeadLetter.split(batch, rules)
+}

@@ -1,0 +1,144 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpecBase
+
+class StreamingMergeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def rec(ts: Long, src: String) =
+    SubRecord("p0", new Timestamp(ts), src, s"v$ts")
+
+  test("golden merge: reference MergerTest sequence, watermark-gated") {
+    // MergerTest.java:88-134: topic1 = [10000,50000,90000,130000],
+    // topic2 = [30000,70000,110000,120000,140000]; merged output must be
+    // ascending by timestamp, each record released only once the OTHER
+    // stream's watermark passed it.
+    val s1 = MemoryStream[SubRecord](spark)
+    val s2 = MemoryStream[SubRecord](spark)
+    val merged = StreamingMerge.orderedEmit(
+      StreamingMerge.gatedUnion("0 seconds", s1.toDS(), s2.toDS()))
+    val q = merged.writeStream.format("memory").queryName("merged_out")
+      .outputMode("append").start()
+    try {
+      // phase 1: stream1 complete, stream2 only up to 70000
+      s1.addData(Seq(10000L, 50000L, 90000L, 130000L).map(rec(_, "t1")))
+      s2.addData(Seq(30000L, 70000L).map(rec(_, "t2")))
+      q.processAllAvailable()
+      // phase 2: rest of stream2 arrives; prior watermark min(130000,70000)
+      s2.addData(Seq(110000L, 120000L, 140000L).map(rec(_, "t2")))
+      q.processAllAvailable()
+      // extra ticks so the new watermark propagates + event timeouts fire
+      s1.addData(rec(200000L, "t1")); s2.addData(rec(200000L, "t2"))
+      q.processAllAvailable()
+      s1.addData(rec(200001L, "t1")); s2.addData(rec(200001L, "t2"))
+      q.processAllAvailable()
+
+      val got = spark.table("merged_out").as[SubRecord]
+        .collect().map(_.ts.getTime).toSeq
+      // all of the golden prefix released (140000 needs wm >= 140000 =
+      // min of both streams' 200000-base watermarks in the tick phase)
+      val golden = Seq(10000L, 30000L, 50000L, 70000L, 90000L,
+        110000L, 120000L, 130000L, 140000L)
+      assert(got.take(golden.length) == golden,
+        s"merged prefix mismatch: $got")
+      // emission order ascending throughout
+      assert(got == got.sorted)
+    } finally q.stop()
+  }
+
+  test("lagging stream holds the gate (per-input watermarks)") {
+    val s1 = MemoryStream[SubRecord](spark)
+    val s2 = MemoryStream[SubRecord](spark)
+    val merged = StreamingMerge.orderedEmit(
+      StreamingMerge.gatedUnion("0 seconds", s1.toDS(), s2.toDS()))
+    val q = merged.writeStream.format("memory").queryName("gate_out")
+      .outputMode("append").start()
+    try {
+      s1.addData(rec(100000L, "a"), rec(500000L, "a"))
+      s2.addData(rec(50000L, "b"))   // lagging stream: wm stays at 50000
+      q.processAllAvailable()
+      s1.addData(rec(500001L, "a")); s2.addData(rec(50001L, "b"))
+      q.processAllAvailable()
+      val got = spark.table("gate_out").as[SubRecord].collect().map(_.ts.getTime)
+      // nothing above stream2's watermark may be emitted
+      assert(got.forall(_ <= 50001L), s"gate leaked: ${got.toSeq}")
+    } finally q.stop()
+  }
+}
+
+class StreamingDedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("exact dedup within watermark window") {
+    val s = MemoryStream[SubRecord](spark)
+    val out = StreamingDedup.exact(s.toDF(), $"value", "ts", "1 minute")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      s.addData(
+        SubRecord("k", new Timestamp(t0), "a", "same-payload"),
+        SubRecord("k", new Timestamp(t0 + 1000), "a", "same-payload"),
+        SubRecord("k", new Timestamp(t0 + 2000), "a", "other-payload"))
+      q.processAllAvailable()
+      val vals = spark.table("dedup_out").as[SubRecord]
+        .collect().map(_.value).sorted.toSeq
+      assert(vals == Seq("other-payload", "same-payload"))
+    } finally q.stop()
+  }
+}
+
+class PunctuatorSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("punctuation fires for a key after the interval, without new data") {
+    val s = MemoryStream[SubRecord](spark)
+    val out = Punctuator.punctuate(s.toDS(), intervalMs = 300)
+    // NB: with ProcessingTimeTimeout the engine schedules timer batches
+    // forever, so processAllAvailable() would never observe quiescence —
+    // poll the sink with a deadline instead.
+    val q = out.writeStream.format("memory").queryName("punct_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      s.addData(SubRecord("k1", new Timestamp(1000L), "a", "v"))
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("punct_out").count() == 0 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val keys = spark.table("punct_out").as[Punctuation]
+        .collect().map(_.subKey).toSet
+      assert(keys.contains("k1"), s"expected punctuation for k1, got $keys")
+    } finally q.stop()
+  }
+}
+
+class ListenerSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("WorkersMetricsListener captures progress + watchdog semantics") {
+    val listener = new WorkersMetricsListener(processingTimeoutMs = 60000L)
+    spark.streams.addListener(listener)
+    val s = MemoryStream[SubRecord](spark)
+    val q = s.toDS().writeStream.format("memory").queryName("lst_out")
+      .outputMode("append").start()
+    try {
+      s.addData(SubRecord("k", new Timestamp(1000L), "a", "v"))
+      q.processAllAvailable()
+      // listener events are async — wait briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (!listener.metrics.containsKey("input-records.poll-size") &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(listener.metrics.containsKey("input-records.poll-size"))
+      assert(!listener.stalled())
+      assert(listener.stalled(System.currentTimeMillis() + 120000L))
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+}
