@@ -343,8 +343,11 @@ object SparkEntry {
     }),
 
     "lang_id" -> ((s, d) =>
-      T(s, d, "documents").select(col("doc_id"),
-        TextFunctions.langId(col("text")).as("lang_pred"))),
+      // tokenize once into a materialized column, then score 5 profiles
+      T(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          TextFunctions.langIdTokens(col("toks")).as("lang_pred"))),
 
     // custom 64-bit fingerprints — not DuckDB-expressible; rows-only.
     "text_fingerprint" -> ((s, d) =>
@@ -636,7 +639,9 @@ object SparkEntry {
         | round(len(list_intersect(a.s, b.s)) * 1.0
         |   / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
         |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |WHERE round(len(list_intersect(a.s, b.s)) * 1.0
+        |WHERE CAST(least(len(a.s), len(b.s)) AS DOUBLE)
+        |   >= 0.97 * CAST(greatest(len(a.s), len(b.s)) AS DOUBLE)
+        |  AND round(len(list_intersect(a.s, b.s)) * 1.0
         |   / len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.97""".stripMargin,
 
     "dedup_embedding" ->

@@ -109,6 +109,66 @@ object GraftHash {
     UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
+  /** MinHash over pre-hashed elements: same scheme as minHashSignature but
+    * the per-element base hash is supplied (e.g. xxhash64 of a shingle). */
+  def minHashSignatureLong(hashes: ArrayData, k: Int, seed: Long): ArrayData = {
+    val n = hashes.numElements()
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!hashes.isNullAt(i)) {
+        val base = hashes.getLong(i)
+        var j = 0
+        while (j < k) {
+          val h = mix64(base ^ mix64(seed + j))
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  /** Fused shingle+MinHash kernel: word n-gram shingles are hashed
+    * positionally (FNV-style polynomial combine over per-token FNV hashes —
+    * order-sensitive, no string concatenation) and fed straight into the k
+    * minima. One pass, zero allocation beyond the two primitive arrays.
+    * Exists because Spark's higher-order functions (transform/filter)
+    * evaluate their lambda interpreted per element — a fused codegen kernel
+    * is ~10× cheaper on the 100 TB path. */
+  def minHashShingles(tokens: ArrayData, n: Int, k: Int, seed: Long): ArrayData = {
+    val num = tokens.numElements()
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    if (num >= n) {
+      val th = new Array[Long](num)
+      var i = 0
+      while (i < num) {
+        th(i) = if (tokens.isNullAt(i)) 0L else fnv1a64(tokens.getUTF8String(i))
+        i += 1
+      }
+      i = 0
+      while (i <= num - n) {
+        var h = 0xcbf29ce484222325L
+        var j = 0
+        while (j < n) {
+          h = (h ^ th(i + j)) * 0x100000001b3L
+          j += 1
+        }
+        var b = 0
+        while (b < k) {
+          val m = mix64(h ^ mix64(seed + b))
+          if (m < sig(b)) sig(b) = m
+          b += 1
+        }
+        i += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
   /** 64-bit SimHash (Charikar 2002, "Similarity estimation techniques from
     * rounding algorithms"): per-token 64-bit hash votes on each bit plane. */
   def simHash64(tokens: ArrayData): Long = {
@@ -151,4 +211,17 @@ object GraftHash {
 
   /** Hamming distance between two 64-bit fingerprints (for SimHash dedup). */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Count of array elements present in `set` (duplicates counted) — the
+    * codegen kernel behind StopwordHits. */
+  def countIn(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
 }

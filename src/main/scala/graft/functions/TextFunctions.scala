@@ -52,15 +52,24 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "de", "et", "un", "est", "pour", "que", "dans", "sur"),
     "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "人", "这"))
 
-  /** Count of tokens that belong to a fixed stopword list. */
+  /** Count of tokens that belong to a fixed stopword list (duplicates
+    * counted). Backed by the StopwordHits codegen expression — a
+    * `size(filter(...))` formulation evaluates its lambda interpreted. */
   def stopwordHits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+    GraftFunctions.stopwordHits(toks, words)
 
   /** Heuristic language ID: argmax of per-language stopword hits, 'und'
     * (undetermined) when no profile matches. Deterministic tie-break by
     * language code order. */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(text: Column): Column = langIdTokens(tokens(text))
+
+  /** langId over a pre-tokenized column. Project the token array into a
+    * materialized column first (`df.select(tokens(text).as("toks"))`) so
+    * the tokenizer runs once per row, not once per language profile —
+    * higher-order-function subtrees are excluded from codegen
+    * common-subexpression elimination, so the expression-level reuse that
+    * looks free here is not. */
+  def langIdTokens(toks: Column): Column = {
     val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(stopwordHits(toks, words).as("hits"), lit(lang).as("lang"))
     }

@@ -104,6 +104,62 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
 }
 
+/** MinHash signature over pre-hashed elements (array<long>): skips the
+  * per-element string hashing — the scale path when shingles are built as
+  * numeric hashes (e.g. xxhash64 over token triples) instead of strings. */
+case class MinHashSignatureLong(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression {
+  require(k > 0, "minhash k must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.minHashSignatureLong(v.asInstanceOf[ArrayData], k, seed)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftHash.minHashSignatureLong($c, $k, ${seed}L);")
+  override protected def withNewChildInternal(c: Expression): MinHashSignatureLong = copy(child = c)
+}
+
+/** Fused shingle+MinHash over a token array (see
+  * GraftHash.minHashShingles): word n-grams hashed positionally, k minima
+  * in one loop — the codegen-hot path for MinHash-LSH dedup. */
+case class MinHashShingles(child: Expression, shingleSize: Int, k: Int,
+                           seed: Long)
+    extends UnaryExpression {
+  require(k > 0 && shingleSize > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.minHashShingles(v.asInstanceOf[ArrayData], shingleSize, k, seed)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftHash.minHashShingles($c, $shingleSize, $k, ${seed}L);")
+  override protected def withNewChildInternal(c: Expression): MinHashShingles = copy(child = c)
+}
+
+/** Count of tokens contained in a fixed word set, duplicates counted —
+  * replaces `size(filter(toks, _.isin(...)))`, whose lambda Spark evaluates
+  * interpreted per element. The set is embedded as a codegen reference
+  * object, so the whole lookup stays inside whole-stage codegen. */
+case class StopwordHits(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.countIn(v.asInstanceOf[ArrayData], set)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopset", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftHash.countIn($c, $ref);")
+  }
+  override protected def withNewChildInternal(c: Expression): StopwordHits = copy(child = c)
+}
+
 /** 64-bit SimHash of a token array. */
 case class SimHash64(child: Expression)
     extends UnaryExpression {
@@ -155,10 +211,17 @@ object GraftFunctions {
     toCol(CosineSimilarity(toExpr(a), toExpr(b)))
   def minhash(tokens: Column, k: Int, seed: Long = 42L): Column =
     toCol(MinHashSignature(toExpr(tokens), k, seed))
+  def minhashLong(hashes: Column, k: Int, seed: Long = 42L): Column =
+    toCol(MinHashSignatureLong(toExpr(hashes), k, seed))
+  def minhashShingles(tokens: Column, shingleSize: Int, k: Int,
+                      seed: Long = 42L): Column =
+    toCol(MinHashShingles(toExpr(tokens), shingleSize, k, seed))
   def simhash(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
   def fingerprint(c: Column): Column = toCol(RollingFingerprint(toExpr(c)))
   def hamming(a: Column, b: Column): Column =
     toCol(HammingDistance64(toExpr(a), toExpr(b)))
+  def stopwordHits(tokens: Column, words: Seq[String]): Column =
+    toCol(StopwordHits(toExpr(tokens), words))
 
   /** Register SQL names so `spark.sql("SELECT graft_cosine(a,b) ...")` works.
     * SQL literals arrive untyped-coerced (these expressions declare no

