@@ -390,6 +390,53 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
     }),
 
+    // ---- temporal joins -------------------------------------------------
+    "asof_join" -> ((s, d) => {
+      val e = T(s, d, "events")
+        .select("event_id", "user_id", "ts", "event_type")
+      val purchases = e.filter(col("event_type") === "purchase")
+      val clicks = e.filter(col("event_type") === "click")
+      TemporalJoins.asOf(purchases, clicks, "user_id", "ts", "last_click_ts")
+        .select(col("event_id"), col("user_id"), tss(col("ts")).as("ts_s"),
+          tss(col("last_click_ts")).as("last_click_ts_s"))
+    }),
+
+    "range_join" -> ((s, d) => {
+      val e = T(s, d, "events")
+      TemporalJoins.rangeSelfJoinCount(e, col("user_id"),
+        unix_micros(col("ts")), col("event_id"), rangeUs = 3600000000L)
+    }),
+
+    // ---- SQL-text surface: correlated/scalar/in subqueries --------------
+    "sql_exists" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT c_custkey, c_name FROM customer
+              |WHERE EXISTS (SELECT 1 FROM orders
+              |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin)
+    }),
+
+    "sql_scalar_subquery" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT o_orderkey, o_totalprice FROM orders
+              |WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)""".stripMargin)
+    }),
+
+    "sql_in_subquery" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT p_partkey, p_name FROM part
+              |WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+              |                    WHERE l_quantity > 49)""".stripMargin)
+    }),
+
+    // ---- record weighing (SURVEY §1.3) ----------------------------------
+    "record_weight" -> ((s, d) => {
+      T(s, d, "events")
+        .select(col("event_id"),
+          graft.functions.RecordWeigher.recordWeight(
+            col("user_id").cast("string"), col("props"),
+            col("event_type")).as("weight"))
+    }),
+
     // HLL sketch vs exact — approx value differs across engines; rows-only.
     "approx_distinct" -> ((s, d) =>
       T(s, d, "events")
@@ -786,6 +833,49 @@ object SparkEntry {
         | range(0, CAST(frames AS BIGINT), 3) AS sampled_idx,
         | CAST(len(range(0, CAST(frames AS BIGINT), 3)) AS INT) AS n_sampled
         |FROM m""".stripMargin,
+
+    "asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, ts, event_type FROM events
+        |           WHERE event_type IN ('purchase', 'click'))
+        |SELECT event_id, user_id,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        | strftime(last_click_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts_s
+        |FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    max(CASE WHEN event_type = 'click' THEN ts END) OVER
+        |      (PARTITION BY user_id
+        |       ORDER BY ts ASC, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END ASC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+        |  FROM e)
+        |WHERE event_type = 'purchase'""".stripMargin,
+
+    "range_join" ->
+      """SELECT a.event_id, count(DISTINCT b.event_id) AS n_nearby
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id <> b.event_id
+        | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 3600000000
+        |GROUP BY a.event_id""".stripMargin,
+
+    "sql_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+
+    "sql_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)""".stripMargin,
+
+    "sql_in_subquery" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+        |                    WHERE l_quantity > 49)""".stripMargin,
+
+    "record_weight" ->
+      """SELECT event_id,
+        | octet_length(CAST(CAST(user_id AS VARCHAR) AS BLOB))
+        | + octet_length(CAST(props AS BLOB))
+        | + octet_length(CAST(event_type AS BLOB)) + 256 AS weight
+        |FROM events""".stripMargin,
 
     "sessionize" ->
       """WITH t AS (SELECT user_id, ts, event_id,

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators the reference's users hand-roll in WorkerTasks
+  * (the merge gate of MergerTest is a special case): as-of joins and
+  * bounded-range self joins, expressed with scale-safe plans.
+  */
+object TemporalJoins {
+
+  /** As-of join via the union trick: for every left row, attach the
+    * timestamp of the most recent right row with rightTs <= leftTs for the
+    * same key (column `asOfName`, null when no prior right row exists).
+    * `left` and `right` must share a schema (e.g. two slices of one event
+    * stream).
+    *
+    * No join at all — one union + one running-max window per key. At scale
+    * this is a single hash shuffle on the key (the window), versus a
+    * skew-prone non-equi join; it is the textbook distributed as-of plan.
+    */
+  def asOf(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+           asOfName: String): DataFrame = {
+    val l = left.withColumn("_is_left", lit(1))
+    val r = right.withColumn("_is_left", lit(0))
+    val u = l.unionByName(r)
+    // rights sort before lefts at equal ts so "at or before" includes ties
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol).asc, col("_is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    u.withColumn(asOfName,
+        max(when(col("_is_left") === 0, col(tsCol))).over(w))
+      .filter(col("_is_left") === 1)
+      .drop("_is_left")
+  }
+
+  /** Bounded-range self join: pairs of rows with the same key whose event
+    * times differ by at most `rangeUs` microseconds.
+    *
+    * Banded-bucket plan: each row lands in bucket floor(ts/range); a pair
+    * within range must sit in the same or adjacent buckets, so the join is
+    * an equi-join on (key, bucket) with each left row probing 3 buckets —
+    * linear shuffle, no BroadcastNestedLoop, no quadratic blowup beyond
+    * genuine in-range density. The classic band-join decomposition.
+    */
+  def rangeSelfJoinCount(df: DataFrame, key: Column, tsUs: Column,
+                         idCol: Column, rangeUs: Long): DataFrame = {
+    val base = df.select(key.as("k"), tsUs.as("us"), idCol.as("id"))
+    val probe = base.select(col("k"), col("us"), col("id"),
+      explode(array(lit(-1), lit(0), lit(1))).as("off"))
+      .withColumn("bucket", (col("us") / rangeUs).cast("long") + col("off"))
+    val build = base.withColumn("bucket", (col("us") / rangeUs).cast("long"))
+      .select(col("k"), col("bucket"), col("us").as("us2"), col("id").as("id2"))
+    probe.join(build, Seq("k", "bucket"))
+      .filter(col("id") =!= col("id2") &&
+        abs(col("us") - col("us2")) <= rangeUs)
+      .groupBy(col("id").as("event_id"))
+      .agg(countDistinct(col("id2")).as("n_nearby"))
+  }
+}

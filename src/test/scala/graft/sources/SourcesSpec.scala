@@ -1,0 +1,54 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+class SourcesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("file formats round-trip: parquet, json, csv, orc") {
+    val dir = Files.createTempDirectory("graft-sources").toString
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", -2.0))
+      .toDF("id", "name", "score")
+    for (fmt <- Seq("parquet", "json", "csv", "orc")) {
+      Sources.write(df, fmt, s"$dir/$fmt")
+      val back = Sources.read(spark, fmt, s"$dir/$fmt",
+        schema = if (fmt == "csv" || fmt == "json")
+          Some(df.schema) else None)
+      val got = back.orderBy("id").as[(Long, String, Double)].collect().toSeq
+      assert(got == Seq((1L, "alpha", 1.5), (2L, "beta", -2.0)), s"fmt=$fmt")
+    }
+  }
+
+  test("partitioned write produces prunable layout") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    val df = Seq((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y"))
+      .toDF("id", "v", "part")
+    Sources.write(df, "parquet", s"$dir/t", partitionBy = Seq("part"))
+    assert(new java.io.File(s"$dir/t/part=x").exists())
+    val pruned = Sources.read(spark, "parquet", s"$dir/t")
+      .filter(col("part") === "x")
+    assert(pruned.count() == 2)
+    // partition filter must show up as a PartitionFilter, not a data filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(part"), plan)
+  }
+
+  test("kafkaShaped normalizes the wire schema and fans out subpartitions") {
+    val df = Seq(
+      ("k1".getBytes, "v1".getBytes, "t", 0, 0L,
+        new java.sql.Timestamp(1000L), 0),
+      ("k2".getBytes, "v2".getBytes, "t", 0, 1L,
+        new java.sql.Timestamp(2000L), 0))
+      .toDF("key", "value", "topic", "partition", "offset",
+        "timestamp", "timestampType")
+    val r = Sources.kafkaShaped(df, subpartitions = 4)
+    val rows = r.select("subKey", "subpartition", "value_str")
+      .as[(String, Int, String)].collect()
+    assert(rows.forall(t => t._2 >= 0 && t._2 < 4))
+    assert(rows.forall(t => t._1 == s"t/0/${t._2}"))
+    assert(rows.map(_._3).sorted.toSeq == Seq("v1", "v2"))
+  }
+}
