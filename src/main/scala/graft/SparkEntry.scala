@@ -428,6 +428,26 @@ object SparkEntry {
               |                    WHERE l_quantity > 49)""".stripMargin)
     }),
 
+    // ---- pivot (wide aggregation) ---------------------------------------
+    "pivot_events" -> ((s, d) => {
+      T(s, d, "events")
+        .withColumn("user_bucket", (col("user_id") % 10))
+        .groupBy(col("user_bucket"))
+        .pivot("event_type",
+          Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L)
+    }),
+
+    // ---- multimodal resize plan -----------------------------------------
+    "resize_plan" -> ((s, d) => {
+      val media = Multimodal.asBinaryPayload(T(s, d, "documents"),
+        col("doc_id"), col("text"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio").otherwise("video"))
+      Multimodal.resizePlan(Multimodal.extractMeta(media).toDF(), 32, 24)
+    }),
+
     // ---- record weighing (SURVEY §1.3) ----------------------------------
     "record_weight" -> ((s, d) => {
       T(s, d, "events")
@@ -869,6 +889,27 @@ object SparkEntry {
       """SELECT p_partkey, p_name FROM part
         |WHERE p_partkey IN (SELECT l_partkey FROM lineitem
         |                    WHERE l_quantity > 49)""".stripMargin,
+
+    "pivot_events" ->
+      """SELECT user_id % 10 AS user_bucket,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "resize_plan" ->
+      """WITH m AS (SELECT doc_id,
+        |   CAST(16 + octet_length(CAST(text AS BLOB)) % 64 AS INT) AS width,
+        |   CAST(16 + (octet_length(CAST(text AS BLOB)) // 64) % 64 AS INT) AS height
+        | FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id, width, height,
+        | greatest(1, CAST(floor(width * least(32 * height, 24 * width)
+        |   / (width * height)) AS INT)) AS out_w,
+        | greatest(1, CAST(floor(height * least(32 * height, 24 * width)
+        |   / (width * height)) AS INT)) AS out_h
+        |FROM m""".stripMargin,
 
     "record_weight" ->
       """SELECT event_id,

@@ -68,6 +68,21 @@ object Multimodal {
       }
   }
 
+  /** Resize plan for image-typed payloads: scale to fit inside
+    * (maxW, maxH) preserving aspect ratio (integer math, no decode —
+    * the real pixel work happens in the decoder stub's slot). */
+  def resizePlan(meta: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scaleNum = least(lit(maxW) * col("height"), lit(maxH) * col("width"))
+    val scaleDen = col("width") * col("height")
+    meta.filter(col("media_type") === "image")
+      .withColumn("out_w",
+        greatest(lit(1), floor(col("width") * scaleNum / scaleDen).cast("int")))
+      .withColumn("out_h",
+        greatest(lit(1), floor(col("height") * scaleNum / scaleDen).cast("int")))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("out_w"), col("out_h"))
+  }
+
   /** Frame sampling for video-typed payloads: every `stride`-th frame index.
     * Pure column algebra — stays in codegen. */
   def sampleFrames(meta: DataFrame, stride: Int): DataFrame =
