@@ -310,6 +310,11 @@ object SparkEntry {
       Dedup.tokenJaccardPairs(T(s, d, "documents"), col("doc_id"), col("text"),
         block = Seq(col("lang")), threshold = 0.97)),
 
+    // hyperplane-LSH blocking: recall < 1 by construction -> rows-only.
+    "dedup_embedding_lsh" -> ((s, d) =>
+      Dedup.embeddingLshPairs(T(s, d, "embeddings"), col("vec_id"),
+        col("embedding"), threshold = 0.3, bands = 16, bitsPerBand = 4)),
+
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingNearDup(T(s, d, "embeddings"), col("vec_id"),
         col("embedding"), col("label"), threshold = 0.4)),

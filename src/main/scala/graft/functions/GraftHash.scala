@@ -212,6 +212,30 @@ object GraftHash {
   /** Hamming distance between two 64-bit fingerprints (for SimHash dedup). */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Random-hyperplane signature of a float vector (Charikar 2002 §3:
+    * sign of dot products with pseudo-random planes approximates angular
+    * similarity): bit b = sign(Σ_d v[d] * r(b,d)) where r is a
+    * deterministic ±1 derived from splitmix64 — no plane matrix to ship,
+    * every executor regenerates it from (seed, bit, dim). */
+  def hyperplaneSimHash(vec: ArrayData, bits: Int, seed: Long): Long = {
+    val d = vec.numElements()
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      var dot = 0.0
+      var i = 0
+      while (i < d) {
+        val r = mix64(seed ^ (b.toLong << 32) ^ i.toLong)
+        val sign = if ((r & 1L) == 1L) 1.0 else -1.0
+        dot += vec.getFloat(i) * sign
+        i += 1
+      }
+      if (dot > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** Count of array elements present in `set` (duplicates counted) — the
     * codegen kernel behind StopwordHits. */
   def countIn(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {

@@ -137,6 +137,21 @@ case class MinHashShingles(child: Expression, shingleSize: Int, k: Int,
   override protected def withNewChildInternal(c: Expression): MinHashShingles = copy(child = c)
 }
 
+/** Random-hyperplane LSH signature of a float vector (angular/cosine
+  * similarity family). `bits` sign bits of pseudo-random projections. */
+case class HyperplaneSimHash(child: Expression, bits: Int, seed: Long)
+    extends UnaryExpression {
+  require(bits > 0 && bits <= 64)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.hyperplaneSimHash(v.asInstanceOf[ArrayData], bits, seed)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftHash.hyperplaneSimHash($c, $bits, ${seed}L);")
+  override protected def withNewChildInternal(c: Expression): HyperplaneSimHash = copy(child = c)
+}
+
 /** Count of tokens contained in a fixed word set, duplicates counted —
   * replaces `size(filter(toks, _.isin(...)))`, whose lambda Spark evaluates
   * interpreted per element. The set is embedded as a codegen reference
@@ -222,6 +237,8 @@ object GraftFunctions {
     toCol(HammingDistance64(toExpr(a), toExpr(b)))
   def stopwordHits(tokens: Column, words: Seq[String]): Column =
     toCol(StopwordHits(toExpr(tokens), words))
+  def hyperplaneSimhash(vec: Column, bits: Int, seed: Long = 42L): Column =
+    toCol(HyperplaneSimHash(toExpr(vec), bits, seed))
 
   /** Register SQL names so `spark.sql("SELECT graft_cosine(a,b) ...")` works.
     * SQL literals arrive untyped-coerced (these expressions declare no

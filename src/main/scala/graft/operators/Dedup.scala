@@ -167,6 +167,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Embedding cosine near-dup with random-hyperplane LSH blocking — the
+    * 100 TB path: no external blocking key needed. Each vector gets a
+    * `bands × bitsPerBand`-bit hyperplane signature (Charikar 2002); a pair
+    * at angular similarity θ agrees on one b-bit band with probability
+    * (1 - θ/π)^b, so high-cosine pairs collide in ≥1 of the bands w.h.p.
+    * while the bucket join stays linear. Candidates are verified with exact
+    * cosine — same shape as [[minhashLsh]]: ids-only shuffle, groupBy
+    * bucket pair expansion, semi-join before re-reading vectors.
+    */
+  def embeddingLshPairs(vecs: DataFrame, id: Column, vec: Column,
+                        threshold: Double, bands: Int = 8,
+                        bitsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
+    require(bands * bitsPerBand <= 64)
+    val sig = vecs.select(id.as("vec_id"),
+      GraftFunctions.hyperplaneSimhash(vec, bands * bitsPerBand, seed)
+        .as("hsig"))
+    val mask = (1L << bitsPerBand) - 1
+    val bandCols = array((0 until bands).map(b =>
+      shiftright(col("hsig"), b * bitsPerBand).bitwiseAND(lit(mask))): _*)
+    val banded = sig.select(col("vec_id"),
+      posexplode(bandCols).as(Seq("band", "bucket")))
+    val candidates = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |            y -> struct(x AS id_a, y AS id_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("cand_id"))
+      .distinct()
+    val candVecs = vecs
+      .join(candIds, id === col("cand_id"), "left_semi")
+      .select(id.as("vid"), vec.as("v"))
+    candidates
+      .join(candVecs.select(col("vid").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(candVecs.select(col("vid").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .withColumn("cos",
+        round(GraftFunctions.cosineSimilarity(col("v_a"), col("v_b")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Embedding cosine near-dup, blocked to keep the pair space linear. */
   def embeddingNearDup(vecs: DataFrame, id: Column, vec: Column,
                        block: Column, threshold: Double): DataFrame = {

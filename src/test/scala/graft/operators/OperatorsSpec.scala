@@ -194,3 +194,19 @@ class MultimodalSpec extends SparkSpecBase {
     assert(r.toSeq == Seq((1L, 4)))             // frames 0,3,6,9
   }
 }
+
+class EmbeddingLshSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("embeddingLshPairs finds same-direction vectors without a block key") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(2f, 0f, 0f, 0f)),  // same dir
+      (3L, Array(0f, 1f, 0f, 0f)), (4L, Array(-1f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val r = Dedup.embeddingLshPairs(vecs, col("vec_id"), col("embedding"),
+        threshold = 0.99, bands = 16, bitsPerBand = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // identical-direction pair shares every band -> always a candidate
+    assert(r == Set((1L, 2L)))
+  }
+}
