@@ -59,6 +59,16 @@ object Similarity {
       .select(col("centroid_id"), col("vec_id"), col("embedding"))
   }
 
+  /** Persist an IVF index partitioned BY CENTROID: probing then becomes a
+    * partition-pruned scan — a query touching nProbe of C centroids reads
+    * nProbe/C of the index bytes, which is the entire point of IVF at
+    * 100 TB. Build once, query many. */
+  def writeIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** IVF search: probe the nProbe nearest centroid buckets per query, then
     * exact cosine within those buckets only. */
   def ivfTopK(queries: DataFrame, index: DataFrame, corpus: DataFrame,

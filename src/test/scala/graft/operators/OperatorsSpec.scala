@@ -210,3 +210,27 @@ class EmbeddingLshSpec extends SparkSpecBase {
     assert(r == Set((1L, 2L)))
   }
 }
+
+class IvfPersistenceSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("persisted IVF index prunes partitions on probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val e = (0 until 100).map { i =>
+      val ang = i * math.Pi / 50
+      (i.toLong, Array(math.cos(ang).toFloat, math.sin(ang).toFloat))
+    }.toDF("vec_id", "embedding")
+    val idx = Similarity.ivfIndex(e, centroidStride = 10)
+    Similarity.writeIndex(idx, s"$dir/idx")
+    val loaded = Similarity.readIndex(spark, s"$dir/idx")
+    // probing 2 centroids must turn into PartitionFilters, not a full scan
+    val probed = loaded.filter(col("centroid_id").isin(0L, 10L))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [centroid_id"), plan)
+    // and the search still works against the loaded index
+    val r = Similarity.ivfTopK(e.filter(col("vec_id") === 0L), loaded, e,
+        centroidStride = 10, nProbe = 3, k = 3)
+      .select("cand_id").as[Long].collect()
+    assert(r.length == 3)
+  }
+}
