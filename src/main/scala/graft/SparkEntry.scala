@@ -313,7 +313,7 @@ object SparkEntry {
     // hyperplane-LSH blocking: recall < 1 by construction -> rows-only.
     "dedup_embedding_lsh" -> ((s, d) =>
       Dedup.embeddingLshPairs(T(s, d, "embeddings"), col("vec_id"),
-        col("embedding"), threshold = 0.3, bands = 16, bitsPerBand = 4)),
+        col("embedding"), threshold = 0.3, bands = 8, bitsPerBand = 8)),
 
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingNearDup(T(s, d, "embeddings"), col("vec_id"),

@@ -236,6 +236,45 @@ object GraftHash {
     out
   }
 
+  /** Token set as sorted distinct 64-bit hashes: the compact exact-set
+    * representation for set-similarity joins — 8 bytes/token instead of a
+    * string, and intersection becomes a linear merge. */
+  def tokenSetHash(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      h(i) = if (tokens.isNullAt(i)) 0L else fnv1a64(tokens.getUTF8String(i))
+      i += 1
+    }
+    java.util.Arrays.sort(h)
+    var uniq = 0
+    var j = 0
+    while (j < n) {
+      if (j == 0 || h(j) != h(j - 1)) { h(uniq) = h(j); uniq += 1 }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(h, uniq))
+  }
+
+  /** Exact Jaccard of two SORTED distinct long arrays via linear merge.
+    * Matches size(intersect)/size(union) over the original sets up to 64-bit hash
+    * collisions (probability ~2^-64 per pair of distinct tokens). */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    inter.toDouble / union.toDouble
+  }
+
   /** Count of array elements present in `set` (duplicates counted) — the
     * codegen kernel behind StopwordHits. */
   def countIn(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {

@@ -137,6 +137,34 @@ case class MinHashShingles(child: Expression, shingleSize: Int, k: Int,
   override protected def withNewChildInternal(c: Expression): MinHashShingles = copy(child = c)
 }
 
+/** Sorted distinct 64-bit hash set of a token array — the compact set
+  * representation for set-similarity joins. */
+case class TokenSetHash(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.tokenSetHash(v.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftHash.tokenSetHash($c);")
+  override protected def withNewChildInternal(c: Expression): TokenSetHash = copy(child = c)
+}
+
+/** Exact Jaccard of two sorted distinct long arrays (linear merge). */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftHash.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.GraftHash.jaccardSorted($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
+    copy(left = l, right = r)
+}
+
 /** Random-hyperplane LSH signature of a float vector (angular/cosine
   * similarity family). `bits` sign bits of pseudo-random projections. */
 case class HyperplaneSimHash(child: Expression, bits: Int, seed: Long)
@@ -239,6 +267,9 @@ object GraftFunctions {
     toCol(StopwordHits(toExpr(tokens), words))
   def hyperplaneSimhash(vec: Column, bits: Int, seed: Long = 42L): Column =
     toCol(HyperplaneSimHash(toExpr(vec), bits, seed))
+  def tokenSetHash(tokens: Column): Column = toCol(TokenSetHash(toExpr(tokens)))
+  def jaccardSorted(a: Column, b: Column): Column =
+    toCol(JaccardSorted(toExpr(a), toExpr(b)))
 
   /** Register SQL names so `spark.sql("SELECT graft_cosine(a,b) ...")` works.
     * SQL literals arrive untyped-coerced (these expressions declare no

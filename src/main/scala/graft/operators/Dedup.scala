@@ -148,21 +148,37 @@ object Dedup {
     */
   def tokenJaccardPairs(docs: DataFrame, id: Column, text: Column,
                         block: Seq[Column], threshold: Double): DataFrame = {
-    val base = docs.select(
+    // Phase 1 — candidate pairs over a LIGHT frame: (block, id, set size).
+    // The O(pairs-per-block) join shuffles ~20 bytes/row and the length
+    // bound prunes before any array ever moves.
+    val light = docs.select(
       (block.zipWithIndex.map { case (c, i) => c.as(s"blk_$i") } :+
-        id.as("doc_id") :+ TextFunctions.tokenSet(text).as("toks")): _*)
-      .withColumn("nt", size(col("toks")))
+        id.as("doc_id") :+
+        size(GraftFunctions.tokenSetHash(TextFunctions.tokens(text)))
+          .as("nt")): _*)
     val blkCols = block.indices.map(i => s"blk_$i")
-    val l = base.select((blkCols.map(col) :+ col("doc_id").as("id_a") :+
-      col("toks").as("toks_a") :+ col("nt").as("nt_a")): _*)
-    val r = base.select((blkCols.map(col) :+ col("doc_id").as("id_b") :+
-      col("toks").as("toks_b") :+ col("nt").as("nt_b")): _*)
-    l.join(r, blkCols)
+    val l = light.select((blkCols.map(col) :+ col("doc_id").as("id_a") :+
+      col("nt").as("nt_a")): _*)
+    val r = light.select((blkCols.map(col) :+ col("doc_id").as("id_b") :+
+      col("nt").as("nt_b")): _*)
+    val candidates = l.join(r, blkCols)
       .filter(col("id_a") < col("id_b") &&
         least(col("nt_a"), col("nt_b")).cast("double") >=
           lit(threshold) * greatest(col("nt_a"), col("nt_b")).cast("double"))
+      .select("id_a", "id_b")
+
+    // Phase 2 — attach HASHED token sets (8 bytes/token, sorted) to the
+    // surviving pairs only; Jaccard is a linear merge over two long arrays
+    // (same value as the string-set formulation up to 64-bit collisions).
+    val toksOf = docs.select(id.as("tid"),
+      GraftFunctions.tokenSetHash(TextFunctions.tokens(text)).as("t"))
+    candidates
+      .join(toksOf.select(col("tid").as("id_a"), col("t").as("toks_a")),
+        Seq("id_a"))
+      .join(toksOf.select(col("tid").as("id_b"), col("t").as("toks_b")),
+        Seq("id_b"))
       .withColumn("jaccard",
-        round(TextFunctions.jaccard(col("toks_a"), col("toks_b")), 4))
+        round(GraftFunctions.jaccardSorted(col("toks_a"), col("toks_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
