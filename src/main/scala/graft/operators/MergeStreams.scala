@@ -23,14 +23,26 @@ object MergeStreams {
 
   /** UNION ALL two homogeneous frames and order by event time. Emits a
     * global emission index so downstream (and the correctness oracle) can
-    * verify the total order as data, independent of physical row order. */
+    * verify the total order as data, independent of physical row order.
+    *
+    * NOT a global window: `row_number over (ORDER BY ts)` collapses to a
+    * single partition — the classic 100 TB bottleneck. Instead the union is
+    * range-partitioned + sorted on (ts, tieBreak) — parallel sort, same as
+    * orderBy — and the global sequence comes from zipWithIndex: one extra
+    * count job over the sorted partitions, no single-reducer stage. */
   def merged(a: DataFrame, b: DataFrame, ts: Column,
              tieBreak: Column): DataFrame = {
     val u = a.unionByName(b)
-    // rank over the full ordering = position in the merged stream;
-    // windows over an empty partitionBy use a range-partitioned sort.
-    u.withColumn("emit_seq",
-      row_number().over(Window.orderBy(ts, tieBreak)))
+    val sorted = u.repartitionByRange(ts, tieBreak)
+      .sortWithinPartitions(ts, tieBreak)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("emit_seq",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    sorted.sparkSession.createDataFrame(indexed, schema)
   }
 
   /** The merge gate as data: per-record high-watermark of the *other*
