@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build a correctly-tuned engine session — the library's
+  * equivalent of the reference's WorkersConfig defaults
+  * (api/WorkersConfig.java): sensible parallelism, AQE with skew-join
+  * handling, UTC session time, and the engine's SQL functions registered.
+  *
+  * On a cluster, master/parallelism come from spark-submit and only the
+  * tuning confs below matter; `local(n)` is the single-JVM entry used by
+  * Verify/Bench and tests.
+  */
+object GraftSession {
+
+  def local(cores: Int, appName: String = "graft"): SparkSession =
+    configure(SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString))
+      .getOrCreate()
+
+  /** Apply the engine's tuning to any builder (cluster or local). */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.ui.enabled", "false")
+
+  /** Build + register the graft SQL functions (graft_cosine, ...). */
+  def localWithFunctions(cores: Int): SparkSession = {
+    val s = local(cores)
+    functions.GraftFunctions.register(s)
+    s
+  }
+}
