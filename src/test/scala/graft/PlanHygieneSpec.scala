@@ -1,0 +1,50 @@
+package graft
+
+/** Plan-quality regression guards: the properties that make these plans
+  * survive a 100 TB scale-up, pinned as assertions so a refactor can't
+  * silently lose them.
+  */
+class PlanHygieneSpec extends SparkSpecBase {
+
+  private val d = "/root/testdata/sf0.001"
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+
+  test("filters reach the parquet scan (PushedFilters)") {
+    for (q <- Seq("q1_agg", "q3_topk", "accept_filter", "json_extract")) {
+      val p = plan(q)
+      assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+        s"$q lost its parquet filter pushdown")
+    }
+  }
+
+  test("scans are column-pruned (ReadSchema smaller than the table)") {
+    val p = plan("q1_agg")
+    // q1 touches 7 of lineitem's 11 columns; the scan must not read more
+    val readSchema = p.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"),
+      s"q1_agg reads columns it doesn't use: $readSchema")
+  }
+
+  test("dimension joins broadcast (no shuffle of the small side)") {
+    val p = plan("q3_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("no accidental cartesian products anywhere") {
+    SparkEntry.queries.keys.foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"),
+        s"$q plans a CartesianProduct")
+    }
+  }
+
+  test("no single-partition global windows (scale bottleneck)") {
+    for (q <- Seq("merge_streams", "subpartition_roundrobin", "window_rank")) {
+      val p = plan(q)
+      val globalWindow = p.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("SinglePartition"))
+      assert(!globalWindow, s"$q uses a single-partition window")
+    }
+  }
+}
