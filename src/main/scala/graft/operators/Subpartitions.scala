@@ -28,6 +28,8 @@ object Subpartitions {
     * the bit-exact Kafka murmur2 (HashFunctionPartitioner.java:29-49). */
   def byKeyHash(df: DataFrame, key: Column, n: Int,
                 kafkaCompatible: Boolean = false): DataFrame = {
+    if (n <= 0) throw new graft.BadSubpartitionException(
+      s"subpartition count must be positive, got $n")
     val sub =
       if (kafkaCompatible) GraftFunctions.murmur2Mod(key.cast("string"), n)
       else pmod(hash(key), lit(n))
@@ -39,6 +41,8 @@ object Subpartitions {
     * numbers records within each source partition and takes mod n. */
   def roundRobin(df: DataFrame, sourcePartition: Column, n: Int,
                  order: Column*): DataFrame = {
+    if (n <= 0) throw new graft.BadSubpartitionException(
+      s"subpartition count must be positive, got $n")
     val w = Window.partitionBy(sourcePartition).orderBy(order: _*)
     df.withColumn("subpartition",
       ((row_number().over(w) - 1) % n).cast("int"))

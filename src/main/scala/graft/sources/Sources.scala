@@ -46,6 +46,13 @@ object Sources {
       .withColumn("src", col("topic"))
       .withColumn("value_str", col("value").cast("string"))
 
+  /** First value of a named Kafka header (WorkerRecord.headers accessor,
+    * api/record/WorkerRecord.java:45-51): null when absent. */
+  def headerValue(headers: org.apache.spark.sql.Column,
+                  name: String): org.apache.spark.sql.Column =
+    try_element_at(filter(headers, h => h.getField("key") === name), lit(1))
+      .getField("value")
+
   /** Batch file readers (S5): parquet/json/csv/orc over a directory. */
   def read(spark: SparkSession, format: String, path: String,
            schema: Option[StructType] = None): DataFrame = {

@@ -52,3 +52,41 @@ class SourcesSpec extends SparkSpecBase {
     assert(rows.map(_._3).sorted.toSeq == Seq("v1", "v2"))
   }
 }
+
+class HeadersAndGuardsSpec extends graft.SparkSpecBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("headerValue extracts the first matching Kafka header") {
+    val df = Seq(
+      (1L, Seq(("trace", "abc".getBytes), ("lang", "en".getBytes))),
+      (2L, Seq(("lang", "de".getBytes))),
+      (3L, Seq.empty[(String, Array[Byte])]))
+      .toDF("id", "headers")
+      .select(col("id"), col("headers").cast(
+        "array<struct<key:string,value:binary>>"))
+    val r = df.select(col("id"),
+        Sources.headerValue(col("headers"), "lang").cast("string").as("l"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(r == Map(1L -> Some("en"), 2L -> Some("de"), 3L -> None))
+  }
+
+  test("invalid subpartition count raises BadSubpartitionException") {
+    val df = Seq((1L, "k")).toDF("id", "key")
+    intercept[graft.BadSubpartitionException] {
+      graft.operators.Subpartitions.byKeyHash(df, col("key"), 0)
+    }
+    intercept[graft.BadSubpartitionException] {
+      graft.operators.Subpartitions.roundRobin(df, col("key"), -1, col("id"))
+    }
+  }
+
+  test("backpressure budget math matches the reference worked example") {
+    import graft.streaming.Backpressure
+    // README.md:231-245: 8 GiB heap, ratio 0.5 -> 4 GiB queue budget
+    assert(Backpressure.maxBytesPerTrigger(8L << 30) == (4L << 30))
+    assert(Backpressure.maxOffsetsPerTrigger(8L << 30, 1024) == (4L << 20))
+    assert(Backpressure.kafkaRateOptions(8L << 30, 1024)
+      ("maxOffsetsPerTrigger") == (4L << 20).toString)
+  }
+}
