@@ -66,3 +66,12 @@ class ExpressionsSpec extends SparkSpecBase {
       org.apache.spark.unsafe.types.UTF8String.fromString("the quick brown fox")))
   }
 }
+
+class GraftExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("GraftExtensions wires all five functions without error") {
+    // full end-to-end (spark.sql.extensions config in a fresh JVM) is
+    // exercised by the ExtSmoke drive; here we pin the injection wiring.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+  }
+}
