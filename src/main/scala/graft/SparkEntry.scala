@@ -214,7 +214,7 @@ object SparkEntry {
         col("doc_id"),
         size(toks).as("n_tok"),
         size(array_distinct(toks)).as("n_distinct"),
-        slice(sort_array(array_distinct(toks)), 1, 5).as("top5"),
+        concat_ws(",", slice(sort_array(array_distinct(toks)), 1, 5)).as("top5"),
         array_contains(toks, "the").as("has_the"))
     }),
 
@@ -376,7 +376,7 @@ object SparkEntry {
           .when(col("doc_id") % 3 === 1, "audio").otherwise("video"))
       Multimodal.sampleFrames(Multimodal.extractMeta(media).toDF(), stride = 3)
         .select(col("doc_id"), col("frames"),
-          col("sampled_idx").cast("array<long>").as("sampled_idx"),
+          concat_ws(",", col("sampled_idx").cast("array<long>")).as("sampled_idx"),
           col("n_sampled"))
     }),
 
@@ -615,7 +615,7 @@ object SparkEntry {
       """SELECT doc_id,
         | CAST(len(string_split(trim(text), ' ')) AS INT) AS n_tok,
         | CAST(len(list_distinct(string_split(trim(text), ' '))) AS INT) AS n_distinct,
-        | list_sort(list_distinct(string_split(trim(text), ' ')))[1:5] AS top5,
+        | array_to_string(list_sort(list_distinct(string_split(trim(text), ' ')))[1:5], ',') AS top5,
         | list_contains(string_split(trim(text), ' '), 'the') AS has_the
         |FROM documents""".stripMargin,
 
@@ -855,7 +855,7 @@ object SparkEntry {
         |   CAST(1 + octet_length(CAST(text AS BLOB)) % 30 AS INT) AS frames
         | FROM documents WHERE doc_id % 3 = 2)
         |SELECT doc_id, frames,
-        | range(0, CAST(frames AS BIGINT), 3) AS sampled_idx,
+        | array_to_string(range(0, CAST(frames AS BIGINT), 3), ',') AS sampled_idx,
         | CAST(len(range(0, CAST(frames AS BIGINT), 3)) AS INT) AS n_sampled
         |FROM m""".stripMargin,
 

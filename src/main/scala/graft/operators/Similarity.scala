@@ -1,10 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, VectorFunctions}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -37,10 +37,22 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"), cos.as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
+  }
+
+  /** Bounded-state per-query top-k: a partial-aggregating TopK Aggregator
+    * keeps at most k (cos, cand_id) pairs per map-side partition, so the
+    * shuffle carries k × partitions rows per query instead of the entire
+    * scored candidate set (a window-rank would funnel |corpus| rows of a
+    * query into one reducer — the classic 100 TB single-reducer trap).
+    * Tie order matches the window form: cos desc, cand_id asc. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(VectorFunctions.topK(k), Encoders.product[(Double, Long)])
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("cos"), col("cand_id")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col._2").as("cand_id"),
+        col("col._1").as("cos"), (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** IVF bucketing: assign every corpus vector to its nearest centroid.
@@ -52,11 +64,15 @@ object Similarity {
     val assigned = corpus.crossJoin(broadcast(centroids))
       .withColumn("cos_c",
         GraftFunctions.cosineSimilarity(col("embedding"), col("centroid")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_c").desc, col("centroid_id").asc)
-    assigned.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("centroid_id"), col("vec_id"), col("embedding"))
+    // Argmax as a partial-aggregating max_by (tie → lowest centroid_id, like
+    // the window form's cos_c desc / centroid_id asc ordering). The embedding
+    // rides in the max_by payload so no join-back to the corpus is needed.
+    assigned.groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("centroid_id"), col("embedding")),
+        struct(col("cos_c"), (-col("centroid_id")).as("tie"))).as("best"))
+      .select(col("best.centroid_id").as("centroid_id"), col("vec_id"),
+        col("best.embedding").as("embedding"))
   }
 
   /** Persist an IVF index partitioned BY CENTROID: probing then becomes a
@@ -81,6 +97,8 @@ object Similarity {
     val probes = q.crossJoin(broadcast(centroids))
       .withColumn("cos_c",
         GraftFunctions.cosineSimilarity(col("q_vec"), col("centroid")))
+    // Window here is safe at scale: the partition holds |centroids| rows per
+    // query (a design-bounded constant, not the corpus).
     val wp = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_c").desc, col("centroid_id").asc)
     val probeSet = probes.withColumn("rn", row_number().over(wp))
@@ -92,8 +110,6 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("cand_id"),
         round(GraftFunctions.cosineSimilarity(col("q_vec"), col("embedding")), 4)
           .as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 }

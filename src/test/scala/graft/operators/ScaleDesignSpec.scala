@@ -21,6 +21,53 @@ class SkewSpec extends SparkSpecBase {
   }
 }
 
+class SimilarityScaleSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val corpus = (0 until 200).map { i =>
+    val ang = i * math.Pi / 100
+    (i.toLong, Array(math.cos(ang).toFloat, math.sin(ang).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  test("bruteForceTopK shuffles bounded partial top-k, not a per-query window") {
+    val r = Similarity.bruteForceTopK(
+      corpus.filter(col("vec_id") < 4), corpus, k = 5)
+    val plan = r.queryExecution.executedPlan.toString
+    // no full-candidate shuffle into a single per-query partition
+    assert(!plan.contains("Window"), s"window-rank top-k is back:\n$plan")
+    // the TopK Aggregator must partially aggregate map-side
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial"),
+      s"expected partial ObjectHashAggregate top-k:\n$plan")
+    assert(r.count() == 4 * 5)
+  }
+
+  test("ivfIndex argmax is a partial max_by aggregate, not a window") {
+    val plan = Similarity.ivfIndex(corpus, centroidStride = 20)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window argmax is back:\n$plan")
+  }
+
+  test("TopK-ranked results equal the window-rank reference") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Similarity.bruteForceTopK(
+        corpus.filter(col("vec_id") < 4), corpus, k = 5)
+      .select("query_id", "cand_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val q = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val scored = corpus.crossJoin(q)
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        round(graft.functions.GraftFunctions.cosineSimilarity(
+          col("q_vec"), col("embedding")), 4).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
+    val ref = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5).select("query_id", "cand_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == ref)
+  }
+}
+
 class BucketedJoinSpec extends SparkSpecBase {
   import spark.implicits._
 
