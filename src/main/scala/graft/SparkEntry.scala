@@ -302,7 +302,32 @@ object SparkEntry {
       Dedup.minhashLsh(T(s, d, "documents"), col("doc_id"), col("text"),
         shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.7)),
 
-    "dedup_simhash" -> ((s, d) =>
+    // Oracled SimHash: the signature is derived from md5 token hashes (60
+    // bits so the value fits a signed long in both engines), which DuckDB
+    // can recompute exactly. Band blocking has recall 1 for hamming <= 3
+    // (pigeonhole over 4 disjoint 15-bit slices) and the verification makes
+    // precision 1, so the blocked pair set provably equals the exact
+    // all-pairs hamming<=3 set the oracle computes.
+    "dedup_simhash" -> ((s, d) => {
+      val th = T(s, d, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+      val votes = (0 until 60).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as(s"v$b"))
+      val sig = th.groupBy(col("doc_id"))
+        .agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"),
+          (0 until 60).map(b =>
+            when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+            .reduce(_ + _).as("sim"))
+      Dedup.simhashPairsFromSig(sig, sigBits = 60, bands = 4, maxHamming = 3)
+    }),
+
+    // The production path: fused codegen SimHash64 kernel (custom 64-bit
+    // hash, KAT-pinned in GraftHashSpec) — not DuckDB-reproducible, so
+    // rows-only here.
+    "dedup_simhash_kernel" -> ((s, d) =>
       Dedup.simhashPairs(T(s, d, "documents"), col("doc_id"), col("text"),
         maxHamming = 3)),
 
@@ -703,6 +728,36 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.s, b.s)) * 1.0
         |   / len(list_distinct(list_concat(a.s, b.s))) >= 0.7""".stripMargin,
+
+    // Oracle = EXACT all-pairs hamming over the same md5-derived 60-bit
+    // simhash; the engine's 4x15-bit band blocking has recall 1 for
+    // hamming<=3 (pigeonhole) and verification makes precision 1, so the
+    // blocked pair set equals this exact pair set deterministically.
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        |  FROM documents),
+        | th AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(
+        |      string_to_array(substr(md5(tok), 1, 15), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS h
+        |  FROM toks),
+        | bits AS (
+        |  SELECT doc_id, CAST(bit AS INT) AS bit,
+        |    SUM(CASE WHEN (h >> CAST(bit AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM th CROSS JOIN (SELECT unnest(range(60)) AS bit)
+        |  GROUP BY doc_id, bit),
+        | sig AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+        |      AS BIGINT) AS sim
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin,
 
     "dedup_ngram" ->
       """WITH t AS (SELECT doc_id, lang,

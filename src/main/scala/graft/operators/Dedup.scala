@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextFunctions}
@@ -44,7 +45,8 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, id: Column, text: Column,
                  shingleSize: Int = 3, numHashes: Int = 64,
-                 bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+                 bands: Int = 16, threshold: Double = 0.7,
+                 bucketCap: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val shingles = array_distinct(TextFunctions.wordNGrams(text, shingleSize))
@@ -74,18 +76,9 @@ object Dedup {
     // Pairs within each (band, bucket) via groupBy + in-bucket pair
     // expansion — ONE pass over the signature subtree. A self-join would
     // evaluate the whole scan+shingle+minhash tree twice (Spark does not
-    // reuse non-identical exchange branches).
-    val candidates = banded
-      .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids) - i - 1),
-          |            y -> struct(x AS id_a, y AS id_b))))""".stripMargin))
-        .as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .dropDuplicates("id_a", "id_b")
+    // reuse non-identical exchange branches). The bucket cap bounds the
+    // state and the quadratic pair blowup of an adversarial hot bucket.
+    val candidates = bucketPairs(banded, "doc_id", bucketCap)
 
     // Verify candidates with exact Jaccard — but only ever compute shingle
     // arrays for docs that appear in a candidate pair: semi-join the id set
@@ -112,22 +105,91 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** In-bucket candidate pairs from a banded frame (band, bucket, `idCol`):
+    * cap each bucket at its `bucketCap` smallest ids, then groupBy +
+    * collect + pair expansion.
+    *
+    * The cap bounds the quadratic pair blowup of an adversarial hot bucket
+    * (≤ cap²/2 pairs) AND the aggregation state (collect_list only ever
+    * sees ≤ cap rows per bucket). The capping window partitions by
+    * (band, bucket) — thousands of small partitions, NOT a global or
+    * per-query window — and its sort spills gracefully, so a hot bucket
+    * degrades to disk instead of OOMing an executor. The groupBy reuses the
+    * window's hash partitioning, so the whole thing costs one shuffle of
+    * ~20-byte rows. Keeping the *smallest* ids is deterministic under
+    * retries and arrival order. */
+  private def bucketPairs(banded: DataFrame, idCol: String,
+                          bucketCap: Int): DataFrame = {
+    require(bucketCap > 1, "bucketCap must allow at least one pair")
+    val wB = Window.partitionBy(col("band"), col("bucket"))
+      .orderBy(col(idCol).asc)
+    banded
+      .withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= bucketCap)
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |            y -> struct(x AS id_a, y AS id_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** SimHash near-dup: pairs within `maxHamming` of each other, blocked by
     * 16-bit bands (pigeonhole: hamming ≤ 3 ⇒ some band of 4 is identical). */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, bucketCap: Int = 10000): DataFrame = {
     val sig = docs.select(id.as("doc_id"),
       GraftFunctions.simhash(TextFunctions.tokens(text)).as("sim"))
-    val bandCols = array((0 until 4).map(b =>
-      shiftright(col("sim"), b * 16).bitwiseAND(lit(0xffffL))): _*)
+    simhashPairsFromSig(sig, sigBits = 64, bands = 4,
+      maxHamming = maxHamming, bucketCap = bucketCap)
+  }
+
+  /** Band-blocked near-dup pairs from a precomputed signature frame
+    * (doc_id, sim). Recall is EXACT for maxHamming ≤ bands − 1: a pair
+    * differing in ≤ bands−1 bits cannot differ in every one of the `bands`
+    * disjoint bit slices (pigeonhole), so it shares ≥ 1 band bucket; the
+    * hamming verification then makes precision exact too. Larger maxHamming
+    * values are rejected rather than silently losing pairs.
+    *
+    * Same shuffle economics as [[minhashLsh]]: the grouped pair expansion
+    * evaluates the signature subtree once (no self-join), carries only
+    * (doc_id, sim) = 16 bytes/row through the bucket shuffle, and the
+    * per-bucket capping window (spillable sort over thousands of small
+    * bucket partitions) bounds hot-bucket state and pair blowup.
+    */
+  def simhashPairsFromSig(sig: DataFrame, sigBits: Int, bands: Int,
+                          maxHamming: Int,
+                          bucketCap: Int = 10000): DataFrame = {
+    require(bands > 0 && sigBits % bands == 0, "bands must divide sigBits")
+    require(maxHamming >= 0 && maxHamming <= bands - 1,
+      s"band blocking guarantees recall only for maxHamming <= bands-1 " +
+        s"(got maxHamming=$maxHamming, bands=$bands)")
+    val bitsPerBand = sigBits / bands
+    val mask = if (bitsPerBand >= 64) -1L else (1L << bitsPerBand) - 1L
+    val bandCols = array((0 until bands).map(b =>
+      shiftright(col("sim"), b * bitsPerBand).bitwiseAND(lit(mask))): _*)
     val banded = sig.select(col("doc_id"), col("sim"),
       posexplode(bandCols).as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("id_a"), col("sim").as("sim_a"))
-    val r = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("id_b"), col("sim").as("sim_b"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+    val wB = Window.partitionBy(col("band"), col("bucket"))
+      .orderBy(col("doc_id").asc)
+    banded
+      .withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= bucketCap)
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sim"))))
+        .as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ms, (x, i) ->
+          |  transform(slice(ms, i + 2, size(ms) - i - 1),
+          |    y -> struct(x.doc_id AS id_a, x.sim AS sim_a,
+          |                y.doc_id AS id_b, y.sim AS sim_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.sim_a"), col("p.sim_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming",
         GraftFunctions.hamming(col("sim_a"), col("sim_b")))
@@ -194,7 +256,8 @@ object Dedup {
     */
   def embeddingLshPairs(vecs: DataFrame, id: Column, vec: Column,
                         threshold: Double, bands: Int = 8,
-                        bitsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
+                        bitsPerBand: Int = 8, seed: Long = 42L,
+                        bucketCap: Int = 10000): DataFrame = {
     require(bands * bitsPerBand <= 64)
     val sig = vecs.select(id.as("vec_id"),
       GraftFunctions.hyperplaneSimhash(vec, bands * bitsPerBand, seed)
@@ -204,17 +267,7 @@ object Dedup {
       shiftright(col("hsig"), b * bitsPerBand).bitwiseAND(lit(mask))): _*)
     val banded = sig.select(col("vec_id"),
       posexplode(bandCols).as(Seq("band", "bucket")))
-    val candidates = banded
-      .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids) - i - 1),
-          |            y -> struct(x AS id_a, y AS id_b))))""".stripMargin))
-        .as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val candidates = bucketPairs(banded, "vec_id", bucketCap)
     val candIds = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as("cand_id"))
       .distinct()

@@ -35,6 +35,38 @@ class DedupSpec extends SparkSpecBase {
     assert(r.exists(t => t._1 == 1L && t._2 == 2L && t._3 == 0))
   }
 
+  test("simhashPairs rejects maxHamming beyond the band-blocking guarantee") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxHamming = 4)
+        .collect()
+    }
+  }
+
+  test("simhashPairs candidate generation is a grouped expansion, not a self-join") {
+    val plan = Dedup.simhashPairs(docs, col("doc_id"), col("text"))
+      .queryExecution.optimizedPlan.toString
+    // the signature subtree must be evaluated once: no join appears before
+    // verification (the only joins allowed are none at all in this plan)
+    assert(!plan.toLowerCase.contains("join"),
+      s"expected join-free grouped pair expansion:\n$plan")
+  }
+
+  test("bucketCap bounds hot-bucket pair expansion deterministically") {
+    // 50 identical docs land in the same buckets in every band
+    val hot = (1L to 50L).map(i => (i, "same text in every single doc"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.simhashPairs(hot, col("doc_id"), col("text"),
+        maxHamming = 0, bucketCap = 10)
+      .as[(Long, Long, Int)].collect()
+    // cap=10 smallest ids survive per bucket -> exactly C(10,2) pairs among
+    // ids 1..10, regardless of partitioning/merge order
+    assert(capped.length == 45)
+    assert(capped.forall(t => t._1 <= 10 && t._2 <= 10))
+    val full = Dedup.simhashPairs(hot, col("doc_id"), col("text"),
+      maxHamming = 0).count()
+    assert(full == 50L * 49 / 2)
+  }
+
   test("tokenJaccardPairs respects blocking") {
     val blocked = docs.withColumn("grp", when(col("doc_id") <= 2, "a").otherwise("b"))
     val r = Dedup.tokenJaccardPairs(blocked, col("doc_id"), col("text"),
