@@ -259,11 +259,13 @@ object GraftHash {
 
   /** Exact Jaccard of two SORTED distinct long arrays via linear merge.
     * Matches size(intersect)/size(union) over the original sets up to 64-bit hash
-    * collisions (probability ~2^-64 per pair of distinct tokens). */
+    * collisions (probability ~2^-64 per pair of distinct tokens).
+    * Two empty sets are identical, so J(∅,∅) = 1.0 (the set-theoretic
+    * convention; two empty-token documents are maximally similar). */
   def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
     val nb = b.numElements()
-    if (na == 0 && nb == 0) return 0.0
+    if (na == 0 && nb == 0) return 1.0
     var i = 0; var j = 0; var inter = 0
     while (i < na && j < nb) {
       val x = a.getLong(i); val y = b.getLong(j)

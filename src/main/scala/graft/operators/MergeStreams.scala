@@ -47,7 +47,14 @@ object MergeStreams {
 
   /** The merge gate as data: per-record high-watermark of the *other*
     * stream at this record's position (MergerTest pairing condition).
-    * A record is emittable when otherWatermark >= its own timestamp. */
+    * A record is emittable when otherWatermark >= its own timestamp.
+    *
+    * TEST/DIAGNOSTIC ONLY — the unpartitioned running-max window funnels
+    * every row through one partition, which is exactly the single-reducer
+    * shape the production paths avoid (see [[merged]] for the parallel
+    * form of the total order). Use it to validate small golden sequences
+    * (OperatorsSpec / the reference MergerTest replay), never in a
+    * pipeline; partition the window by a key for any real dataset. */
   def withPairedWatermark(merged: DataFrame, source: Column,
                           ts: Column): DataFrame = {
     val w = Window.orderBy(ts).rowsBetween(Window.unboundedPreceding, 0)

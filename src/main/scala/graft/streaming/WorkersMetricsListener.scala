@@ -15,7 +15,7 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   * staleness, since Spark has no per-record hang detection (SURVEY.md §7.3
   * hard part 4 — the semantic delta is documented there).
   */
-class WorkersMetricsListener(processingTimeoutMs: Long = 300000L)
+class WorkersMetricsListener(val processingTimeoutMs: Long = 300000L)
     extends StreamingQueryListener {
 
   /** metric name → value, reference-style names. */

@@ -3,6 +3,8 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.execution.streaming.runtime.{StreamExecution, StreamingQueryWrapper}
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Bridge into Spark's `private[sql]` surface — the one place the engine
   * touches non-public API. Everything else builds on the public DataFrame /
@@ -15,6 +17,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftShims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** True while the query's stream-execution thread is actually alive.
+    * `StreamingQuery.isActive` flips false as soon as stop() marks the
+    * state TERMINATED — even though a hung batch can keep the execution
+    * thread running (exactly the situation the reference's
+    * CANNOT_STOP_THREADS status reports, KafkaWorkersImpl.java:180). */
+  def executionThreadAlive(q: StreamingQuery): Boolean = q match {
+    case w: StreamingQueryWrapper => w.streamingQuery.queryExecutionThread.isAlive
+    case s: StreamExecution => s.queryExecutionThread.isAlive
+    case _ => q.isActive
+  }
 
   /** Register a SQL function name building a custom expression. */
   def registerFunction(spark: SparkSession, name: String,

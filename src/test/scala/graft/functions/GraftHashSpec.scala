@@ -61,6 +61,13 @@ class GraftHashSpec extends AnyFunSuite {
     assert(math.abs(est - 4.0 / 12.0) < 0.15)
   }
 
+  test("jaccardSorted: empty sets are identical (J=1), one-sided empty is 0") {
+    def arr(xs: Long*) = new GenericArrayData(xs.toArray[Any])
+    assert(GraftHash.jaccardSorted(arr(), arr()) == 1.0)
+    assert(GraftHash.jaccardSorted(arr(1L, 2L), arr()) == 0.0)
+    assert(GraftHash.jaccardSorted(arr(1L, 2L, 3L), arr(2L, 3L, 4L)) == 0.5)
+  }
+
   test("simhash: permutation-invariant; disjoint sets differ") {
     def arr(t: Seq[String]) = new GenericArrayData(t.map(u).toArray[Any])
     val a = Seq("spark", "scala", "stream", "merge", "offset")

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.concurrent.duration._
+
 import org.apache.spark.sql.functions._
 import graft.SparkSpecBase
 
@@ -36,6 +38,45 @@ class AsyncProcessSpec extends SparkSpecBase {
     }
     assert(ex.getMessage.contains("record 13 failed") ||
       Option(ex.getCause).exists(_.getMessage.contains("record 13 failed")))
+  }
+
+  test("a record exceeding the processing timeout fails with the taxonomy exception") {
+    val ds = (0 until 10).toDS().repartition(1)
+    val ex = intercept[Exception] {
+      AsyncProcess.mapAsync(ds, maxInFlight = 2, timeout = 200.millis) { i =>
+        if (i == 5) Thread.sleep(60000)
+        i
+      }.collect()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(ex).exists(
+      _.isInstanceOf[graft.ProcessingTimeoutException]),
+      s"expected ProcessingTimeoutException in cause chain, got: $ex")
+  }
+
+  test("downstream limit that abandons the iterator does not leak pool threads") {
+    def asyncThreads(): Int = {
+      val all = Thread.getAllStackTraces.keySet
+      val it = all.iterator
+      var n = 0
+      while (it.hasNext) { if (it.next().getName.startsWith("pool-")) n += 1 }
+      n
+    }
+    val before = asyncThreads()
+    // limit(3) stops pulling long before the 1000-row partition drains, so
+    // the iterator is abandoned — only the task completion listener can
+    // shut the pool down
+    val ds = (0 until 1000).toDS().repartition(1)
+    val got = AsyncProcess.mapAsync(ds, maxInFlight = 8)(identity)
+      .limit(3).collect()
+    assert(got.length == 3)
+    // give executor teardown a beat, then the pool threads must be gone
+    val deadline = System.currentTimeMillis() + 5000
+    while (asyncThreads() > before && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(asyncThreads() <= before,
+      s"leaked pool threads: before=$before after=${asyncThreads()}")
   }
 }
 

@@ -6,7 +6,7 @@ import java.util.concurrent.atomic.AtomicReference
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
-import graft.SparkSpecBase
+import graft.{ProcessingTimeoutException, SparkSpecBase}
 
 class GraftPipelineSpec extends SparkSpecBase {
   import spark.implicits._
@@ -20,13 +20,14 @@ class GraftPipelineSpec extends SparkSpecBase {
       ex => seen.set(Some(ex))) { (batch, _) =>
       processed.addAndGet(batch.count())
     }
-    assert(p.status == p.Started)
+    assert(p.status == GraftPipeline.Started)
     s.addData(SubRecord("k", new Timestamp(1000L), "a", "v1"),
       SubRecord("k", new Timestamp(2000L), "a", "v2"))
     p.underlying.processAllAvailable()
     assert(processed.get() == 2L)
     val st = p.shutdown()
-    assert(st == p.ClosedGracefully)
+    assert(st == GraftPipeline.ClosedGracefully)
+    assert(p.status.isTerminal)
     assert(seen.get().contains(None))  // callback fired with no exception
   }
 
@@ -41,11 +42,84 @@ class GraftPipelineSpec extends SparkSpecBase {
     s.addData(SubRecord("k", new Timestamp(1000L), "a", "boom"))
     val st = p.awaitShutdown()
     st match {
-      case p.ClosedNotGracefully(e) =>
+      case GraftPipeline.ClosedNotGracefully(e) =>
         assert(e.getMessage.contains("task failed") ||
           Option(e.getCause).exists(_.getMessage.contains("task failed")))
       case other => fail(s"expected ClosedNotGracefully, got $other")
     }
     assert(seen.get().exists(_.isDefined))  // callback carried the cause
+  }
+
+  test("status transitions mirror the reference's legality table") {
+    import GraftPipeline._
+    assert(isTransitionAllowed(Created, Starting))
+    assert(isTransitionAllowed(Starting, Started))
+    assert(isTransitionAllowed(Started, Shutdown))
+    assert(isTransitionAllowed(Shutdown, Closing))
+    assert(isTransitionAllowed(Closing, ClosedGracefully))
+    assert(isTransitionAllowed(Closing, ClosedNotGracefully(new Exception)))
+    assert(isTransitionAllowed(Closing, CannotStopThreads))
+    assert(isTransitionAllowed(Closing, ClosingInterrupted))
+    // illegal jumps
+    assert(!isTransitionAllowed(Created, Started))
+    assert(!isTransitionAllowed(Started, Closing))
+    assert(!isTransitionAllowed(Started, ClosedGracefully))
+    assert(!isTransitionAllowed(ClosedGracefully, Started))
+    // terminality
+    assert(ClosedGracefully.isTerminal && CannotStopThreads.isTerminal &&
+      ClosingInterrupted.isTerminal &&
+      ClosedNotGracefully(new Exception).isTerminal)
+    assert(!Created.isTerminal && !Started.isTerminal && !Closing.isTerminal)
+  }
+
+  test("watchdog: a hung batch terminates the pipeline with ProcessingTimeoutException") {
+    val s = MemoryStream[SubRecord](spark)
+    val ckpt = Files.createTempDirectory("graft-ckpt3").toString
+    val seen = new AtomicReference[Option[Option[Throwable]]](None)
+    val listener = new WorkersMetricsListener(processingTimeoutMs = 1500L)
+    spark.streams.addListener(listener)
+    val p = GraftPipeline.foreachBatch(s.toDF(), ckpt, "100 milliseconds",
+      ex => seen.set(Some(ex))) { (batch, _) =>
+      if (batch.count() > 0) Thread.sleep(120000)  // hang (interruptible)
+    }
+    val dog = new PipelineWatchdog(p, listener, pollIntervalMs = 100L).start()
+    try {
+      s.addData(SubRecord("k", new Timestamp(1000L), "a", "hang"))
+      val deadline = System.currentTimeMillis() + 30000
+      while (!p.status.isTerminal && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      p.status match {
+        case GraftPipeline.ClosedNotGracefully(e) =>
+          assert(e.isInstanceOf[ProcessingTimeoutException],
+            s"expected ProcessingTimeoutException, got $e")
+        case other => fail(s"expected ClosedNotGracefully, got $other")
+      }
+      // the ShutdownCallback received the same taxonomy exception
+      assert(seen.get().exists(_.exists(
+        _.isInstanceOf[ProcessingTimeoutException])))
+    } finally {
+      dog.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
+  test("forced shutdown that cannot stop the query -> CannotStopThreads") {
+    val s = MemoryStream[SubRecord](spark)
+    val ckpt = Files.createTempDirectory("graft-ckpt4").toString
+    val p = GraftPipeline.foreachBatch(s.toDF(), ckpt, "100 milliseconds",
+      shutdownTimeoutMs = 500L) { (batch, _) =>
+      if (batch.count() > 0) {
+        // stubborn: swallow interrupts, like a worker thread that won't die
+        val deadline = System.currentTimeMillis() + 15000
+        while (System.currentTimeMillis() < deadline)
+          try Thread.sleep(50)
+          catch { case _: InterruptedException => () }
+      }
+    }
+    s.addData(SubRecord("k", new Timestamp(1000L), "a", "stubborn"))
+    Thread.sleep(1000)  // let the stubborn batch start
+    val st = p.shutdown()
+    assert(st == GraftPipeline.CannotStopThreads)
+    assert(p.status.isTerminal)
   }
 }
