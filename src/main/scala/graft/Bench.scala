@@ -1,5 +1,8 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — wall-clock per query over the full inventory.
@@ -8,30 +11,81 @@ import org.apache.spark.sql.SparkSession
   * which lets Catalyst prune every projection down to a metadata scan, noop
   * executes the complete physical plan and discards rows at the sink — the
   * honest cost of the query.
+  *
+  * Beyond wall-clock, the run reports:
+  *  - per-query SHUFFLE WRITE bytes (SparkListener task metrics): the
+  *    number that actually predicts 100 TB behavior — a plan regression
+  *    (lost broadcast, un-pruned scan feeding an exchange) shows up here
+  *    as data even when small-SF wall-clock hides it;
+  *  - a second, smaller scale factor and the per-query time ratio between
+  *    the two: linear queries land well under the data ratio (fixed
+  *    overhead dominates), super-linear queries stick out immediately.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = GraftSession.local(cpus, "graft-bench")
-    spark.sparkContext.setLogLevel("WARN")
 
-    // Warm-up outside timing: JVM/codegen paths + parquet footers.
-    spark.range(1000000L).selectExpr("sum(id)").collect()
+  private def timeSuite(spark: SparkSession, sfDir: String,
+                        shuffleBytes: AtomicLong)
+  : Seq[(String, Double, Long)] = {
+    // warm up this SF's parquet footers outside timing
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
-
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val s0 = shuffleBytes.get()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(50) // let async listener events drain for attribution
+      (name, secs, shuffleBytes.get() - s0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+  }
+
+  private def obj(entries: Seq[(String, String)]): String =
+    entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // companion SF for the scaling check: one step down from the primary
+    // (override with SPARK_GRAFT_SF2_DIR; absent dir -> skipped)
+    val sf2Dir = sys.env.get("SPARK_GRAFT_SF2_DIR").orElse {
+      val down = Map("sf0.1" -> "sf0.01", "sf0.01" -> "sf0.001")
+      val name = sfDir.split('/').last
+      down.get(name).map(d => sfDir.stripSuffix(name) + d)
+    }.filter(d => new java.io.File(d).isDirectory)
+
+    val spark = GraftSession.local(cpus, "graft-bench")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shuffleBytes = new AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+
+    // JVM/codegen warm-up outside timing
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    val primary = timeSuite(spark, sfDir, shuffleBytes)
+    val secondary = sf2Dir.map(d => timeSuite(spark, d, shuffleBytes))
+
+    val qs = obj(primary.map { case (k, v, _) => k -> v.toString })
+    val sh = obj(primary.map { case (k, _, b) =>
+      k -> ((b / 10486) / 100.0).toString }) // MB, 2 decimals
+    val total = primary.map(_._2).sum
+    val extra = secondary.map { sec =>
+      val secMap = sec.map(t => t._1 -> t._2).toMap
+      val ratios = primary.flatMap { case (k, v, _) =>
+        secMap.get(k).filter(_ > 0).map(s => k -> f"${v / s}%.2f")
+      }
+      s""","sf2":"${sf2Dir.get}","queries_sf2":${
+        obj(sec.map { case (k, v, _) => k -> v.toString })
+      },"scale_ratio":${obj(ratios)}"""
+    }.getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir"$extra}""")
     spark.stop()
   }
 }

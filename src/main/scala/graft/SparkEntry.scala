@@ -487,21 +487,33 @@ object SparkEntry {
             col("event_type")).as("weight"))
     }),
 
-    // HLL sketch vs exact — approx value differs across engines; rows-only.
+    // HLL sketch: the raw estimate is engine-specific, so the oracled
+    // surface is (exact count, estimate-within-tolerance bool) — DuckDB
+    // recomputes the exact count and pins the bool to TRUE, so the hash
+    // compare verifies BOTH the exact column and that the engine's HLL
+    // lands within its advertised error (default rsd 5%; bound at 10%).
     "approx_distinct" -> ((s, d) =>
       T(s, d, "events")
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users")))
+        .agg(approx_count_distinct(col("user_id")).as("hll"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("hll") - col("exact_users"))
+            <= col("exact_users") * 0.10).as("approx_within_10pct")))
   )
 
   // ------------------------------------------------------------- oracles
 
   /** DuckDB-dialect mirrors. Keys absent here (subpartition_hash,
-    * dedup_simhash, text_fingerprint, approx_distinct) use custom 64-bit
-    * hashes or engine-specific sketches DuckDB cannot reproduce → the
-    * driver records the weaker rows-only check for those. */
+    * dedup_simhash_kernel, text_fingerprint, dedup_embedding_lsh) use
+    * custom 64-bit hashes or recall<1 LSH blocking DuckDB cannot reproduce
+    * → the driver records the weaker rows-only check for those. */
   def oracleSql: Map[String, String] = Map(
+
+    "approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        | TRUE AS approx_within_10pct
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

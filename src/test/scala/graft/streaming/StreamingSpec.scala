@@ -93,6 +93,43 @@ class StreamingDedupSpec extends SparkSpecBase {
   }
 }
 
+class StreamingRoundRobinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("per-partition counter continues across micro-batches (reference semantics)") {
+    val s = MemoryStream[SubRecord](spark)
+    val out = StreamingRoundRobin.assign(s.toDS(), n = 4)
+    val q = out.writeStream.format("memory").queryName("rr_out")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      def rec(src: String, i: Int) =
+        SubRecord("k", new Timestamp(t0 + i * 1000), src, f"v$i%03d")
+      // batch 1: three records on partition p0, two on p1
+      s.addData(rec("p0", 0), rec("p0", 1), rec("p0", 2),
+        rec("p1", 0), rec("p1", 1))
+      q.processAllAvailable()
+      // batch 2: two more on p0 — counter must RESUME at 3, not restart
+      s.addData(rec("p0", 3), rec("p0", 4))
+      q.processAllAvailable()
+      val got = spark.table("rr_out").as[AssignedRecord].collect()
+      val p0 = got.filter(_.src == "p0").sortBy(_.value)
+        .map(_.subpartition).toSeq
+      val p1 = got.filter(_.src == "p1").sortBy(_.value)
+        .map(_.subpartition).toSeq
+      assert(p0 == Seq(0, 1, 2, 3, 0), s"p0 got $p0") // 3 % 4 = 3, 4 % 4 = 0
+      assert(p1 == Seq(0, 1), s"p1 got $p1")          // independent counter
+    } finally q.stop()
+  }
+
+  test("rejects non-positive subpartition count") {
+    val s = MemoryStream[SubRecord](spark)
+    intercept[graft.BadSubpartitionException] {
+      StreamingRoundRobin.assign(s.toDS(), n = 0)
+    }
+  }
+}
+
 class PunctuatorSpec extends SparkSpecBase {
   import spark.implicits._
 
