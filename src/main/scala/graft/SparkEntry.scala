@@ -357,6 +357,33 @@ object SparkEntry {
         centroidStride = 25, nProbe = 3, k = 5)
     }),
 
+    // ---- corpus preparation (north star) -------------------------------
+    // Deterministic hash sampling: stable under retries/repartitioning,
+    // no shuffle, exactly reproducible in the oracle (md5-derived uniform).
+    "hash_sample" -> ((s, d) =>
+      Corpus.hashSample(T(s, d, "documents"), col("doc_id"), rate = 0.2,
+          salt = "s")
+        .select(col("doc_id"), col("lang"))),
+
+    "stratified_sample" -> ((s, d) =>
+      Corpus.stratifiedHashSample(T(s, d, "documents"), col("doc_id"),
+          col("lang"), rates = Map("en" -> 0.5, "de" -> 0.1),
+          defaultRate = 0.05, salt = "s")
+        .select(col("doc_id"), col("lang"))),
+
+    "corpus_mix" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Corpus.mix(Seq(
+          ("web", docs, 0.3),
+          ("books", docs.filter(col("doc_id") % 2 === 0), 0.6)),
+        col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    "doc_chunk" -> ((s, d) =>
+      Corpus.chunkTokens(T(s, d, "documents"), col("doc_id"), col("text"),
+        chunkSize = 30, stride = 20)),
+
     // ---- text analysis (north star) ------------------------------------
     "text_stats" -> ((s, d) => {
       val toks = TextFunctions.tokens(col("text"))
@@ -795,6 +822,50 @@ object SparkEntry {
         |       GROUP BY 1, 2)
         |SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos
         |FROM d WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.4""".stripMargin,
+
+    "hash_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(list_reduce(list_transform(
+        |    string_to_array(substr(md5('s' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS DOUBLE) / 4294967296.0 < 0.2""".stripMargin,
+
+    "stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(list_reduce(list_transform(
+        |    string_to_array(substr(md5('s' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS DOUBLE) / 4294967296.0
+        |  < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.1 ELSE 0.05 END""".stripMargin,
+
+    "corpus_mix" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang,
+        |    CAST(list_reduce(list_transform(
+        |      string_to_array(substr(md5('web' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS DOUBLE) / 4294967296.0 AS u_web,
+        |    CAST(list_reduce(list_transform(
+        |      string_to_array(substr(md5('books' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS DOUBLE) / 4294967296.0 AS u_books
+        |  FROM documents)
+        |SELECT doc_id, lang, 'web' AS source FROM u WHERE u_web < 0.3
+        |UNION ALL
+        |SELECT doc_id, lang, 'books' AS source FROM u
+        |WHERE doc_id % 2 = 0 AND u_books < 0.6""".stripMargin,
+
+    "doc_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |           FROM documents),
+        | c AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tok, toks,
+        |         unnest(range(0, CAST(len(toks) AS BIGINT), 20)) AS start
+        |       FROM t)
+        |SELECT doc_id, n_tok, CAST(start // 20 AS INT) AS chunk_id,
+        | array_to_string(toks[CAST(start + 1 AS INT):CAST(start + 30 AS INT)], ' ')
+        |   AS chunk_text,
+        | CAST(least(30, n_tok - start) AS INT) AS chunk_len
+        |FROM c""".stripMargin,
 
     "similarity_topk" ->
       """WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,

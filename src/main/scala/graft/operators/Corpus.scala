@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-preparation operators for a large-scale training-data pipeline:
+  * deterministic sampling, weighted corpus mixing, and document chunking.
+  *
+  * Scale design:
+  *  - Sampling is HASH-based, not `rand()`-based. `rand()` in Spark is
+  *    seeded per partition, so its output changes under repartitioning,
+  *    task retry, and AQE re-planning — on a 1000-executor job that means
+  *    a non-reproducible corpus. A digest of the record id is stable under
+  *    any physical plan, needs no shuffle, evaluates per-row inside
+  *    whole-stage codegen, and gives every downstream run the identical
+  *    sample. (The md5-derived uniform is also exactly reproducible in the
+  *    DuckDB oracle.)
+  *  - Mixing = per-source hash sampling + union: no shuffle at all; the
+  *    mixture rates hold deterministically per id, and a salt decorrelates
+  *    the per-source samples.
+  *  - Chunking is pure per-row column algebra (sequence/slice/concat_ws —
+  *    all codegen'd): rows fan out by ~n_tok/stride with zero exchanges.
+  */
+object Corpus {
+
+  /** Uniform [0,1) derived from the first 8 hex chars of md5(salt ++ id) —
+    * 32 bits of the digest over 2^32. Deterministic across runs, engines,
+    * partitionings, and retries. */
+  def hashUniform(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Keep each row with probability `rate`, deterministically by id. */
+  def hashSample(df: DataFrame, id: Column, rate: Double,
+                 salt: String = ""): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0)
+    df.filter(hashUniform(id, salt) < lit(rate))
+  }
+
+  /** Per-stratum sampling rates (e.g. per language): rate looked up from a
+    * when-chain over the stratum column; strata absent from `rates` keep
+    * `defaultRate`. */
+  def stratifiedHashSample(df: DataFrame, id: Column, stratum: Column,
+                           rates: Map[String, Double],
+                           defaultRate: Double = 0.0,
+                           salt: String = ""): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(stratum === k, lit(r)).otherwise(acc)
+    }
+    df.filter(hashUniform(id, salt) < rate)
+  }
+
+  /** Weighted mixture of corpora: each source contributes a deterministic
+    * hash-sample at its rate, tagged with its name. The salt is the source
+    * name, so one document appearing in several sources draws independent
+    * coins. */
+  def mix(sources: Seq[(String, DataFrame, Double)],
+          id: Column): DataFrame = {
+    require(sources.nonEmpty)
+    sources.map { case (name, df, rate) =>
+      hashSample(df, id, rate, salt = name)
+        .withColumn("source", lit(name))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Split each document's token stream into fixed-size windows: one row
+    * per (doc, chunk) with the chunk text, its token count, and the chunk
+    * index. `stride` < `chunkSize` yields overlapping windows (the usual
+    * training-prep shape). */
+  def chunkTokens(df: DataFrame, id: Column, text: Column,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0)
+    val toks = TextFunctions.tokens(text)
+    df.select(id.as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tok"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride))))
+      .select(col("doc_id"), col("n_tok"),
+        col("pos").cast("int").as("chunk_id"),
+        concat_ws(" ", slice(col("toks"), col("col") + 1, lit(chunkSize)))
+          .as("chunk_text"),
+        least(lit(chunkSize), col("n_tok") - col("col")).cast("int")
+          .as("chunk_len"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+class CorpusSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val docs = (0L until 1000L).map(i =>
+    (i, if (i % 4 == 0) "en" else "de",
+      (0 until 10).map(j => s"w${i}_$j").mkString(" ")))
+    .toDF("doc_id", "lang", "text")
+
+  test("hashSample is deterministic and rate-accurate") {
+    val a = Corpus.hashSample(docs, col("doc_id"), 0.2, "s")
+      .select("doc_id").as[Long].collect().toSet
+    val b = Corpus.hashSample(docs.repartition(13), col("doc_id"), 0.2, "s")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "sample must not depend on partitioning")
+    assert(math.abs(a.size - 200) < 60, s"rate off: ${a.size}/1000 at 0.2")
+    // different salt draws an (almost surely) different sample
+    val c = Corpus.hashSample(docs, col("doc_id"), 0.2, "other")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a != c)
+  }
+
+  test("stratifiedHashSample applies per-stratum rates") {
+    val r = Corpus.stratifiedHashSample(docs, col("doc_id"), col("lang"),
+        rates = Map("en" -> 1.0), defaultRate = 0.0)
+      .select("lang").as[String].collect()
+    assert(r.toSet == Set("en") && r.length == 250)
+  }
+
+  test("mix tags sources and draws independent samples") {
+    val m = Corpus.mix(Seq(
+        ("a", docs, 1.0), ("b", docs, 0.5)), col("doc_id"))
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(m("a") == 1000L)
+    assert(math.abs(m("b") - 500L) < 80, s"got ${m("b")}")
+  }
+
+  test("chunkTokens windows with overlap, last chunk short") {
+    val one = Seq((7L, "en", (1 to 25).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val r = Corpus.chunkTokens(one, col("doc_id"), col("text"),
+        chunkSize = 10, stride = 8)
+      .orderBy("chunk_id")
+      .select("chunk_id", "chunk_text", "chunk_len", "n_tok")
+      .as[(Int, String, Int, Int)].collect()
+    // starts 0,8,16,24 over 25 tokens
+    assert(r.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(r.forall(_._4 == 25))
+    assert(r(0)._2.startsWith("t1 t2") && r(0)._3 == 10)
+    assert(r(1)._2.startsWith("t9 ") && r(1)._3 == 10)
+    assert(r(3)._2 == "t25" && r(3)._3 == 1)
+  }
+
+  test("corpus operators stay shuffle-free (no Exchange in the plan)") {
+    val plans = Seq(
+      Corpus.hashSample(docs, col("doc_id"), 0.2, "s"),
+      Corpus.mix(Seq(("a", docs, 0.5), ("b", docs, 0.5)), col("doc_id")),
+      Corpus.chunkTokens(docs, col("doc_id"), col("text"), 10, 8))
+      .map(_.queryExecution.executedPlan.toString)
+    plans.foreach(p =>
+      assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p"))
+  }
+}

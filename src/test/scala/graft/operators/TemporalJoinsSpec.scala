@@ -65,4 +65,24 @@ class RecordWeigherSpec extends SparkSpecBase {
       .as[Long].head()
     assert(r == 0 + 1 + 1 + 256)
   }
+
+  test("estimateInstanceSize: WeigherHelpers rules, hand-computed KATs") {
+    import graft.functions.RecordWeigher.estimateInstanceSize
+    // two primitives: header 16 + long 8 + int 4 = 28 -> pad to 32
+    class TwoPrims { var x: Long = 0L; var y: Int = 0 }
+    assert(estimateInstanceSize(classOf[TwoPrims], largeHeap = false) == 32)
+    // large heap: reference fields are 8 bytes, array headers 24
+    class OneRef { var o: TwoPrims = null }
+    // small: 16 + 4 = 20 -> 24, + deep 32 = 56
+    assert(estimateInstanceSize(classOf[OneRef], largeHeap = false) == 56)
+    // large: 16 + 8 = 24, + deep 32 = 56
+    assert(estimateInstanceSize(classOf[OneRef], largeHeap = true) == 56)
+    // arrays counted as empty: header only (16 small / 24 large heap)
+    assert(estimateInstanceSize(classOf[Array[Long]], largeHeap = false) == 16)
+    assert(estimateInstanceSize(classOf[Array[Long]], largeHeap = true) == 24)
+    // self-referential type terminates (hardening over the reference)
+    class Node { var next: Node = null; var v: Int = 0 }
+    // 16 + 4(ref) + 4(int) = 24, cycle not re-entered -> 24
+    assert(estimateInstanceSize(classOf[Node], largeHeap = false) == 24)
+  }
 }
