@@ -17,7 +17,13 @@ object GraftSession {
     configure(SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cores.toString))
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      // Scan-parallelism floor: a compact parquet file (one row group,
+      // a few MB) otherwise becomes ONE input partition, serializing any
+      // CPU-heavy per-row work (from_json, hashing) on a single core while
+      // the rest idle. Splitting the scan to >= cores keeps map work
+      // parallel; at real scale file count dominates and this is inert.
+      .config("spark.sql.files.minPartitionNum", cores.toString))
       .getOrCreate()
 
   /** Apply the engine's tuning to any builder (cluster or local). */
