@@ -309,18 +309,12 @@ object SparkEntry {
     // precision 1, so the blocked pair set provably equals the exact
     // all-pairs hamming<=3 set the oracle computes.
     "dedup_simhash" -> ((s, d) => {
-      val th = T(s, d, "documents")
-        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
-        .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
-      val votes = (0 until 60).map(b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
-          .otherwise(-1)).as(s"v$b"))
-      val sig = th.groupBy(col("doc_id"))
-        .agg(votes.head, votes.tail: _*)
-        .select(col("doc_id"),
-          (0 until 60).map(b =>
-            when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-            .reduce(_ + _).as("sim"))
+      // fused one-pass kernel: no explode, no 60-way vote aggregation, no
+      // shuffle before banding (SimhashMd5KernelSpec pins bit-equality with
+      // the explode+vote column-algebra formulation the oracle mirrors)
+      val sig = T(s, d, "documents").select(col("doc_id"),
+        graft.functions.GraftFunctions
+          .simhashMd5(TextFunctions.tokens(col("text"))).as("sim"))
       Dedup.simhashPairsFromSig(sig, sigBits = 60, bands = 4, maxHamming = 3)
     }),
 

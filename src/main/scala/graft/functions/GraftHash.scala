@@ -195,6 +195,50 @@ object GraftHash {
     out
   }
 
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** 60-bit SimHash with an md5 token hash — the fused one-pass kernel
+    * behind the oracled dedup_simhash query. Bit-for-bit equal to the
+    * column-algebra formulation
+    * `conv(substring(md5(tok), 1, 15), 16, 10)` + per-bit vote sums:
+    * the value of the first 15 hex chars of md5(tok) is the first 8 digest
+    * bytes as an unsigned big-endian long shifted right by one nibble.
+    * 60 bits (not 64) so the signature fits a signed long in every engine
+    * the oracle runs on. */
+  def simHashMd5_60(tokens: ArrayData): Long = {
+    val votes = new Array[Int](60)
+    val md = md5Local.get()
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(tokens.getUTF8String(i).getBytes)
+        var first8 = 0L
+        var k = 0
+        while (k < 8) { first8 = (first8 << 8) | (d(k) & 0xffL); k += 1 }
+        val h = first8 >>> 4 // first 15 hex nibbles = 60 bits
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** Polynomial rolling fingerprint (Karp–Rabin style) over UTF-8 bytes:
     * h = Σ byte_i * B^(len-1-i) in Z_2^64, B = 1000003. Order-sensitive,
     * concat-composable — the classic document-fingerprint primitive. */

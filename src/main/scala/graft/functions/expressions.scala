@@ -216,6 +216,20 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
+/** 60-bit md5-token-hash SimHash (oracle-reproducible; see
+  * GraftHash.simHashMd5_60). */
+case class SimHashMd5(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.simHashMd5_60(v.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftHash.simHashMd5_60($c);")
+  override protected def withNewChildInternal(c: Expression): SimHashMd5 = copy(child = c)
+}
+
 /** Karp–Rabin rolling fingerprint of a string (order-sensitive 64-bit). */
 case class RollingFingerprint(child: Expression)
     extends UnaryExpression {
@@ -260,6 +274,7 @@ object GraftFunctions {
                       seed: Long = 42L): Column =
     toCol(MinHashShingles(toExpr(tokens), shingleSize, k, seed))
   def simhash(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
+  def simhashMd5(tokens: Column): Column = toCol(SimHashMd5(toExpr(tokens)))
   def fingerprint(c: Column): Column = toCol(RollingFingerprint(toExpr(c)))
   def hamming(a: Column, b: Column): Column =
     toCol(HammingDistance64(toExpr(a), toExpr(b)))

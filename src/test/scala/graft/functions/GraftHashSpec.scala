@@ -68,6 +68,21 @@ class GraftHashSpec extends AnyFunSuite {
     assert(GraftHash.jaccardSorted(arr(1L, 2L, 3L), arr(2L, 3L, 4L)) == 0.5)
   }
 
+  test("simHashMd5_60: first-15-hex-chars equivalence, hand-checked") {
+    def arr(t: Seq[String]) = new GenericArrayData(t.map(u).toArray[Any])
+    // single token: signature = the 60-bit token hash itself (votes = sign
+    // of each bit), which must equal parseLong(md5hex.take(15), 16)
+    val tok = "hello"
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = java.lang.Long.parseLong(hex.take(15), 16)
+    assert(GraftHash.simHashMd5_60(arr(Seq(tok))) == expected)
+    // 60-bit range and determinism
+    val s = GraftHash.simHashMd5_60(arr(Seq("a", "b", "c")))
+    assert(s >= 0L && s < (1L << 60))
+    assert(s == GraftHash.simHashMd5_60(arr(Seq("c", "a", "b")))) // order-free
+  }
+
   test("simhash: permutation-invariant; disjoint sets differ") {
     def arr(t: Seq[String]) = new GenericArrayData(t.map(u).toArray[Any])
     val a = Seq("spark", "scala", "stream", "merge", "offset")

@@ -87,6 +87,38 @@ class DedupSpec extends SparkSpecBase {
   }
 }
 
+class SimhashMd5KernelSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("fused kernel == explode + 60-way vote column algebra, bit for bit") {
+    import graft.functions.{GraftFunctions, TextFunctions}
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different text about spark engines"),
+      (4L, "single"),
+      (5L, "dup dup dup tokens tokens vote twice")
+    ).toDF("doc_id", "text")
+    val kernel = docs.select(col("doc_id"),
+        GraftFunctions.simhashMd5(TextFunctions.tokens(col("text"))).as("sim"))
+      .as[(Long, Long)].collect().toMap
+    val th = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val votes = (0 until 60).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$b"))
+    val algebra = th.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(b =>
+          when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim"))
+      .as[(Long, Long)].collect().toMap
+    assert(kernel == algebra)
+  }
+}
+
 class SubpartitionsSpec extends SparkSpecBase {
   import spark.implicits._
 
