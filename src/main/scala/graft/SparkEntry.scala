@@ -123,6 +123,29 @@ object SparkEntry {
         .select("event_id", "user_id", "value", "prev_value", "delta")
     }),
 
+    // RANGE frame: running sum over a VALUE interval (all events of the
+    // user within the last 60s of event time), not a row count.
+    "window_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-60000000L, Window.currentRow)
+      T(s, d, "events")
+        .withColumn("sum_60s", round(sum(col("value")).over(w), 4))
+        .withColumn("n_60s", count(lit(1)).over(w).cast("int"))
+        .select("event_id", "user_id", "sum_60s", "n_60s")
+    }),
+
+    // Exact interpolated quantiles per group (percentile/quantile_cont).
+    "quantile_stats" -> ((s, d) =>
+      T(s, d, "documents")
+        .select(col("lang"),
+          size(TextFunctions.tokens(col("text"))).as("n_tok"))
+        .groupBy(col("lang"))
+        .agg(
+          round(expr("percentile(n_tok, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n_tok, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))),
+
     "agg_rollup" -> ((s, d) => {
       T(s, d, "customer")
         .join(broadcast(T(s, d, "nation")),
@@ -378,6 +401,18 @@ object SparkEntry {
       Corpus.chunkTokens(T(s, d, "documents"), col("doc_id"), col("text"),
         chunkSize = 30, stride = 20)),
 
+    // Lloyd-refined IVF: spherical k-means is not DuckDB-expressible →
+    // rows-only here; convergence + recall are spec-pinned
+    // (KMeansIvfSpec), and the untrained path is fully oracled above.
+    "similarity_ivf_trained" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      val centroids = Similarity.trainCentroids(e, centroidStride = 25,
+        iters = 2)
+      val idx = Similarity.ivfIndexFrom(e, centroids)
+      Similarity.ivfTopKWith(e.filter(col("vec_id") < 8), idx, centroids,
+        nProbe = 3, k = 5)
+    }),
+
     // ---- text analysis (north star) ------------------------------------
     "text_stats" -> ((s, d) => {
       val toks = TextFunctions.tokens(col("text"))
@@ -599,6 +634,21 @@ object SparkEntry {
         | round(value - lag(value, 1) OVER w, 6) AS delta
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
+
+    "window_range_frame" ->
+      """SELECT event_id, user_id,
+        | round(sum(value) OVER w, 4) AS sum_60s,
+        | CAST(count(*) OVER w AS INT) AS n_60s
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "quantile_stats" ->
+      """SELECT lang,
+        | round(quantile_cont(len(string_split(trim(text), ' ')), 0.5), 4) AS p50,
+        | round(quantile_cont(len(string_split(trim(text), ' ')), 0.9), 4) AS p90,
+        | count(*) AS n
+        |FROM documents GROUP BY lang""".stripMargin,
 
     "agg_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust,

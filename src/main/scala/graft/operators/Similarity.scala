@@ -55,12 +55,49 @@ object Similarity {
         col("col._1").as("cos"), (col("pos") + 1).cast("int").as("rank"))
   }
 
-  /** IVF bucketing: assign every corpus vector to its nearest centroid.
-    * Centroids = deterministic stride sample of the corpus itself. */
-  def ivfIndex(corpus: DataFrame, centroidStride: Int): DataFrame = {
-    val centroids = corpus
-      .filter(col("vec_id") % centroidStride === 0)
+  /** Deterministic stride sample of the corpus as initial centroids
+    * (IVF-Flat with random centroids; see class doc). */
+  def strideCentroids(corpus: DataFrame, centroidStride: Int): DataFrame =
+    corpus.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+
+  /** Lloyd-refined centroids: start from the stride sample and run `iters`
+    * assign/mean rounds (spherical k-means — assignment by cosine, mean
+    * per coordinate). Each round is one broadcast of the (small) centroid
+    * set plus two map-side-combinable aggregations over the corpus —
+    * (k × dim) rows after partial aggregation, no per-row state — the
+    * standard distributed k-means step, so it scales to any corpus the
+    * index itself can cover. Clusters that lose all members drop out
+    * (standard Lloyd behavior). Each iteration is materialized to keep the
+    * lineage flat. */
+  def trainCentroids(corpus: DataFrame, centroidStride: Int,
+                     iters: Int): DataFrame = {
+    var centroids = strideCentroids(corpus, centroidStride)
+    var previous: Option[DataFrame] = None
+    for (_ <- 0 until iters) {
+      val assigned = assignToCentroids(corpus, centroids)
+      val next = assigned
+        .select(col("centroid_id"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("i", "v")))
+        .groupBy(col("centroid_id"), col("i"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(expr("transform(sort_array(collect_list(struct(i, m))), x -> x.m)")
+          .cast("array<float>").as("centroid"))
+      next.persist()
+      next.count() // materialize before the previous round is unpersisted
+      previous.foreach(_.unpersist())
+      previous = Some(next)
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment (partial-agg max_by, no window): one row
+    * per corpus vector with its winning centroid_id. */
+  private def assignToCentroids(corpus: DataFrame,
+                                centroids: DataFrame): DataFrame = {
     val assigned = corpus.crossJoin(broadcast(centroids))
       .withColumn("cos_c",
         GraftFunctions.cosineSimilarity(col("embedding"), col("centroid")))
@@ -75,6 +112,16 @@ object Similarity {
         col("best.embedding").as("embedding"))
   }
 
+  /** IVF bucketing: assign every corpus vector to its nearest centroid.
+    * Centroids = deterministic stride sample of the corpus itself. */
+  def ivfIndex(corpus: DataFrame, centroidStride: Int): DataFrame =
+    ivfIndexFrom(corpus, strideCentroids(corpus, centroidStride))
+
+  /** IVF bucketing against an explicit centroid frame (e.g. one refined by
+    * [[trainCentroids]]). */
+  def ivfIndexFrom(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    assignToCentroids(corpus, centroids)
+
   /** Persist an IVF index partitioned BY CENTROID: probing then becomes a
     * partition-pruned scan — a query touching nProbe of C centroids reads
     * nProbe/C of the index bytes, which is the entire point of IVF at
@@ -88,10 +135,14 @@ object Similarity {
   /** IVF search: probe the nProbe nearest centroid buckets per query, then
     * exact cosine within those buckets only. */
   def ivfTopK(queries: DataFrame, index: DataFrame, corpus: DataFrame,
-              centroidStride: Int, nProbe: Int, k: Int): DataFrame = {
-    val centroids = corpus
-      .filter(col("vec_id") % centroidStride === 0)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+              centroidStride: Int, nProbe: Int, k: Int): DataFrame =
+    ivfTopKWith(queries, index, strideCentroids(corpus, centroidStride),
+      nProbe, k)
+
+  /** IVF search against an explicit centroid frame (pair with
+    * [[ivfIndexFrom]] over the same centroids). */
+  def ivfTopKWith(queries: DataFrame, index: DataFrame,
+                  centroids: DataFrame, nProbe: Int, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_vec"))
     val probes = q.crossJoin(broadcast(centroids))

@@ -55,6 +55,33 @@ class CorpusSpec extends SparkSpecBase {
     assert(r(3)._2 == "t25" && r(3)._3 == 1)
   }
 
+  test("stateless corpus ops compose with Structured Streaming unchanged") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = MemoryStream[(Long, String)](spark)
+    val streamDocs = s.toDF().toDF("doc_id", "text")
+    // same hash-sample + chunk pipeline, driven by a stream
+    val out = Corpus.chunkTokens(
+      Corpus.hashSample(streamDocs, col("doc_id"), 0.5, "s"),
+      col("doc_id"), col("text"), chunkSize = 3, stride = 3)
+    val q = out.writeStream.format("memory").queryName("corpus_stream")
+      .outputMode("append").start()
+    try {
+      s.addData((0L until 100L).map(i =>
+        (i, (1 to 7).map(j => s"w${i}_$j").mkString(" "))): _*)
+      q.processAllAvailable()
+      val rows = spark.table("corpus_stream")
+      val sampledIds = rows.select("doc_id").distinct().as[Long].collect().toSet
+      // the stream sample equals the batch sample for identical input
+      val batchIds = Corpus.hashSample(
+          (0L until 100L).toDF("doc_id"), col("doc_id"), 0.5, "s")
+        .as[Long].collect().toSet
+      assert(sampledIds == batchIds)
+      // 7 tokens at chunkSize=stride=3 -> 3 chunks per sampled doc
+      assert(rows.count() == batchIds.size * 3)
+    } finally q.stop()
+  }
+
   test("corpus operators stay shuffle-free (no Exchange in the plan)") {
     val plans = Seq(
       Corpus.hashSample(docs, col("doc_id"), 0.2, "s"),

@@ -68,6 +68,53 @@ class SimilarityScaleSpec extends SparkSpecBase {
   }
 }
 
+class KMeansIvfSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // three well-separated direction clusters with deterministic jitter
+  private val clustered = (0 until 90).map { i =>
+    val c = i % 3
+    val base = c match {
+      case 0 => (1.0, 0.05, 0.0)
+      case 1 => (0.0, 1.0, 0.05)
+      case _ => (0.05, 0.0, 1.0)
+    }
+    val j = 0.02 * ((i * 7) % 5)
+    (i.toLong, Array((base._1 + j).toFloat, (base._2 + j).toFloat,
+      (base._3).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  private def objective(centroids: org.apache.spark.sql.DataFrame): Double = {
+    val idx = Similarity.ivfIndexFrom(clustered, centroids)
+    idx.join(centroids, Seq("centroid_id"))
+      .select(avg(graft.functions.GraftFunctions.cosineSimilarity(
+        col("embedding"), col("centroid"))).as("m"))
+      .as[Double].head()
+  }
+
+  test("Lloyd iterations improve the spherical k-means objective") {
+    val init = Similarity.strideCentroids(clustered, 29) // ids 0,29,58 — one per cluster
+    val trained = Similarity.trainCentroids(clustered, 29, iters = 3)
+    val before = objective(init)
+    val after = objective(trained)
+    assert(after >= before - 1e-9,
+      s"objective regressed: $before -> $after")
+    assert(after > 0.98, s"clusters should be tight, got $after")
+  }
+
+  test("trained IVF search still returns k ranked neighbors") {
+    val centroids = Similarity.trainCentroids(clustered, 29, iters = 2)
+    val idx = Similarity.ivfIndexFrom(clustered, centroids)
+    val r = Similarity.ivfTopKWith(
+        clustered.filter(col("vec_id") === 0L), idx, centroids,
+        nProbe = 2, k = 3)
+      .select("cand_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(r.length == 3)
+    // neighbors of a cluster-0 vector come from cluster 0 (ids ≡ 0 mod 3)
+    assert(r.forall(_._1 % 3 == 0), s"got ${r.toSeq}")
+  }
+}
+
 class BucketedJoinSpec extends SparkSpecBase {
   import spark.implicits._
 
