@@ -436,10 +436,14 @@ object SparkEntry {
           TextFunctions.langIdTokens(col("toks")).as("lang_pred"))),
 
     // custom 64-bit fingerprints — not DuckDB-expressible; rows-only.
+    // Karp–Rabin fingerprint: h = Σ byte_i·B^(n-1-i) in Z_2^64 — DuckDB
+    // mirrors it with a HUGEINT fold over codepoints (the corpus is pure
+    // ASCII, so codepoint == byte) and a signed-wraparound cast. The
+    // 64-bit SimHash kernel this query used to carry stays end-to-end
+    // exercised by dedup_simhash_kernel.
     "text_fingerprint" -> ((s, d) =>
       T(s, d, "documents").select(col("doc_id"),
-        GraftFunctions.fingerprint(col("text")).as("fp"),
-        GraftFunctions.simhash(TextFunctions.tokens(col("text"))).as("sim"))),
+        GraftFunctions.fingerprint(col("text")).as("fp"))),
 
     // ---- multimodal plumbing (north star) ------------------------------
     "multimodal_meta" -> ((s, d) => {
@@ -560,10 +564,12 @@ object SparkEntry {
 
   // ------------------------------------------------------------- oracles
 
-  /** DuckDB-dialect mirrors. Keys absent here (subpartition_hash,
-    * dedup_simhash_kernel, text_fingerprint, dedup_embedding_lsh) use
-    * custom 64-bit hashes or recall<1 LSH blocking DuckDB cannot reproduce
-    * → the driver records the weaker rows-only check for those. */
+  /** DuckDB-dialect mirrors. Keys absent here (dedup_simhash_kernel,
+    * dedup_embedding_lsh, similarity_ivf_trained) are inherently
+    * engine-specific — a custom 64-bit kernel hash, recall<1 LSH blocking,
+    * and k-means training DuckDB cannot reproduce → the driver records the
+    * weaker rows-only check for those; each is pinned by known-answer or
+    * property specs instead. */
   def oracleSql: Map[String, String] = Map(
 
     "approx_distinct" ->
@@ -841,6 +847,59 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin,
+
+    // Kafka murmur2, reimplemented independently in DuckDB SQL (32-bit
+    // wrap-around arithmetic over BIGINT, >>> as integer division): an
+    // engine-independent proof of the kernel's bit-exactness, on top of the
+    // GraftHashSpec known-answer vectors.
+    "subpartition_hash" ->
+      """WITH inp AS (
+        |  SELECT CAST(user_id AS VARCHAR) || ':' ||
+        |         CAST(user_id % 4 AS VARCHAR) AS s
+        |  FROM events),
+        | st AS (SELECT s, CAST(len(s) AS BIGINT) AS n,
+        |          (CAST(len(s) AS BIGINT) // 4) * 4 AS n4 FROM inp),
+        | body AS (
+        |  SELECT s, n, n4,
+        |    list_reduce(
+        |      list_prepend(xor(2538058380, n),
+        |        list_transform(range(0, n4 // 4),
+        |          i -> CAST(ord(s[CAST(i*4+1 AS INT)])
+        |               + 256 * ord(s[CAST(i*4+2 AS INT)])
+        |               + 65536 * ord(s[CAST(i*4+3 AS INT)])
+        |               + 16777216 * ord(s[CAST(i*4+4 AS INT)]) AS BIGINT))),
+        |      (h, k) -> xor((h * 1540483477) % 4294967296,
+        |        (xor((k * 1540483477) % 4294967296,
+        |             ((k * 1540483477) % 4294967296) // 16777216)
+        |         * 1540483477) % 4294967296)) AS h0
+        |  FROM st),
+        | t1 AS (SELECT s, n, n4, CASE WHEN n % 4 = 3
+        |          THEN xor(h0, ord(s[CAST(n4+3 AS INT)]) * 65536)
+        |          ELSE h0 END AS h FROM body),
+        | t2 AS (SELECT s, n, n4, CASE WHEN n % 4 >= 2
+        |          THEN xor(h, ord(s[CAST(n4+2 AS INT)]) * 256)
+        |          ELSE h END AS h FROM t1),
+        | t3 AS (SELECT s, n, n4, CASE WHEN n % 4 >= 1
+        |          THEN (xor(h, ord(s[CAST(n4+1 AS INT)])) * 1540483477)
+        |               % 4294967296
+        |          ELSE h END AS h FROM t2),
+        | f1 AS (SELECT xor(h, h // 8192) AS h FROM t3),
+        | f2 AS (SELECT (h * 1540483477) % 4294967296 AS h FROM f1),
+        | f3 AS (SELECT xor(h, h // 32768) AS h FROM f2)
+        |SELECT CAST((h % 2147483648) % 16 AS INT) AS subpartition,
+        |       count(*) AS cnt
+        |FROM f3 GROUP BY 1""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |   THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fp
+        |FROM (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(string_to_array(text, ''),
+        |      c -> CAST(ord(c) AS HUGEINT)),
+        |      (a, b) -> (a * 1000003 + b) % 18446744073709551616::HUGEINT) AS h
+        |  FROM documents)""".stripMargin,
 
     "dedup_ngram" ->
       """WITH t AS (SELECT doc_id, lang,
