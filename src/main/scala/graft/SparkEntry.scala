@@ -164,6 +164,26 @@ object SparkEntry {
           round(sum(col("o_totalprice")), 2).as("sum_price"))
     }),
 
+    "agg_grouping_sets" -> ((s, d) => {
+      T(s, d, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+              |  count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
+              |FROM orders_gs
+              |GROUP BY GROUPING SETS ((o_orderstatus),
+              |  (o_orderstatus, o_orderpriority), ())""".stripMargin)
+    }),
+
+    // Null semantics: null-safe equality (<=>), coalesce/nullif algebra.
+    "scalar_null" -> ((s, d) => {
+      val e = T(s, d, "events")
+        .withColumn("v_or_null", when(col("value") < 10, lit(null)
+          .cast("double")).otherwise(col("value")))
+      e.select(col("event_id"), col("v_or_null"),
+          coalesce(col("v_or_null"), lit(-1.0)).as("v_coalesced"),
+          nullif(col("event_type"), lit("error")).as("etype_nz"),
+          (col("v_or_null") <=> lit(null).cast("double")).as("is_null_safe"))
+    }),
+
     "agg_distinct" -> ((s, d) => {
       T(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -663,6 +683,23 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        | round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus),
+        |  (o_orderstatus, o_orderpriority), ())""".stripMargin,
+
+    "scalar_null" ->
+      """SELECT event_id,
+        | CASE WHEN value < 10 THEN NULL ELSE value END AS v_or_null,
+        | coalesce(CASE WHEN value < 10 THEN NULL ELSE value END, -1.0)
+        |   AS v_coalesced,
+        | nullif(event_type, 'error') AS etype_nz,
+        | (CASE WHEN value < 10 THEN NULL ELSE value END
+        |   IS NOT DISTINCT FROM NULL) AS is_null_safe
+        |FROM events""".stripMargin,
 
     "agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,

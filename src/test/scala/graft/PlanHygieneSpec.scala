@@ -39,8 +39,8 @@ class PlanHygieneSpec extends SparkSpecBase {
     }
   }
 
-  test("no single-partition global windows (scale bottleneck)") {
-    for (q <- Seq("merge_streams", "subpartition_roundrobin", "window_rank")) {
+  test("no single-partition global windows anywhere (scale bottleneck)") {
+    SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       val globalWindow = p.linesIterator.exists(l =>
         l.contains("Window") && l.contains("SinglePartition"))
