@@ -146,6 +146,25 @@ object SparkEntry {
           round(expr("percentile(n_tok, 0.9)"), 4).as("p90"),
           count(lit(1)).as("n"))),
 
+    // Sketch percentile (KLL/GK-style approx_percentile) — the 100 TB
+    // path (exact percentile buffers every value per group; the sketch is
+    // bounded). Same oracle pattern as approx_distinct: the exact
+    // percentile hash-matches, the sketch is verified within its accuracy
+    // bound as a pinned-TRUE bool.
+    "quantile_approx" -> ((s, d) =>
+      T(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.5)").as("exact_p50"),
+          expr("approx_percentile(value, 0.5, 1000)").as("approx_p50"),
+          expr("percentile(value, 0.01)").as("lo"),
+          expr("percentile(value, 0.99)").as("hi"))
+        .select(col("event_type"),
+          round(col("exact_p50"), 4).as("exact_p50"),
+          (abs(col("approx_p50") - col("exact_p50"))
+            <= (col("hi") - col("lo")) * 0.05 + 0.0001)
+            .as("approx_within_band"))),
+
     "agg_rollup" -> ((s, d) => {
       T(s, d, "customer")
         .join(broadcast(T(s, d, "nation")),
@@ -668,6 +687,12 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "quantile_approx" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 4) AS exact_p50,
+        | TRUE AS approx_within_band
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "quantile_stats" ->
       """SELECT lang,

@@ -55,6 +55,25 @@ class CorpusSpec extends SparkSpecBase {
     assert(r(3)._2 == "t25" && r(3)._3 == 1)
   }
 
+  test("non-overlapping chunks reconstruct every document exactly") {
+    // stride == chunkSize -> concatenating chunks in order gives the doc
+    val r = Corpus.chunkTokens(docs, col("doc_id"), col("text"),
+        chunkSize = 4, stride = 4)
+    import org.apache.spark.sql.expressions.Window
+    val rebuilt = r
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", transform(
+        sort_array(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+        x => x.getField("chunk_text"))).as("rebuilt"))
+    val joined = docs.join(rebuilt, "doc_id")
+      .filter(trim(col("text")) =!= col("rebuilt"))
+    assert(joined.count() == 0, "chunk reconstruction mismatch")
+    // total chunk_len == token count
+    val tok = r.groupBy("doc_id").agg(sum("chunk_len").as("s"),
+      first("n_tok").as("n")).filter(col("s") =!= col("n"))
+    assert(tok.count() == 0)
+  }
+
   test("stateless corpus ops compose with Structured Streaming unchanged") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
