@@ -452,6 +452,23 @@ object SparkEntry {
         nProbe = 3, k = 5)
     }),
 
+    // Flagship composition: the full training-data prep pipeline — quality
+    // gate → exact dedup (drop non-canonical members) → deterministic 50%
+    // sample → token-window chunking — as ONE declarative plan, oracled
+    // end-to-end. Every stage is shuffle-free except the dedup anti-join.
+    "pipeline_e2e" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val gated = docs.filter(
+        TextFunctions.qualityScore(col("text")) >= 0.5)
+      val dupMembers = Dedup.exactDuplicates(docs, col("doc_id"), col("text"))
+        .select(col("doc_id"))
+      val deduped = gated.join(dupMembers, Seq("doc_id"), "left_anti")
+      val sampled = Corpus.hashSample(deduped, col("doc_id"), 0.5, "e2e")
+      Corpus.chunkTokens(sampled, col("doc_id"), col("text"),
+          chunkSize = 40, stride = 40)
+        .select("doc_id", "chunk_id", "chunk_text", "chunk_len")
+    }),
+
     // ---- text analysis (north star) ------------------------------------
     "text_stats" -> ((s, d) => {
       val toks = TextFunctions.tokens(col("text"))
@@ -526,6 +543,18 @@ object SparkEntry {
       val purchases = e.filter(col("event_type") === "purchase")
       val clicks = e.filter(col("event_type") === "click")
       TemporalJoins.asOf(purchases, clicks, "user_id", "ts", "last_click_ts")
+        .select(col("event_id"), col("user_id"), tss(col("ts")).as("ts_s"),
+          tss(col("last_click_ts")).as("last_click_ts_s"))
+    }),
+
+    // merge_asof-style tolerance: clicks older than 1h are no match.
+    "asof_join_tolerance" -> ((s, d) => {
+      val e = T(s, d, "events")
+        .select("event_id", "user_id", "ts", "event_type")
+      val purchases = e.filter(col("event_type") === "purchase")
+      val clicks = e.filter(col("event_type") === "click")
+      TemporalJoins.asOfWithin(purchases, clicks, "user_id", "ts",
+          "last_click_ts", toleranceUs = 3600000000L)
         .select(col("event_id"), col("user_id"), tss(col("ts")).as("ts_s"),
           tss(col("last_click_ts")).as("last_click_ts_s"))
     }),
@@ -1089,6 +1118,39 @@ object SparkEntry {
         |  FROM d)
         |WHERE rank <= 5""".stripMargin,
 
+    "pipeline_e2e" ->
+      """WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks
+        |           FROM documents),
+        | b AS (SELECT doc_id, text, toks,
+        |   CAST(len(toks) AS DOUBLE) AS n_tok_d,
+        |   CAST(length(text) AS DOUBLE) AS n_char_d FROM t),
+        | gated AS (SELECT doc_id, text, toks FROM b WHERE round(
+        |   (CASE WHEN n_tok_d >= 10 AND n_tok_d <= 1000 THEN 1.0 ELSE 0.0 END) * 0.25
+        |   + (CASE WHEN (n_char_d - (n_tok_d - 1)) / n_tok_d >= 2.0
+        |           AND (n_char_d - (n_tok_d - 1)) / n_tok_d <= 12.0
+        |      THEN 1.0 ELSE 0.0 END) * 0.25
+        |   + least(len(list_filter(toks, x -> list_contains(
+        |       ['the','a','of','and','to','in','is','that','it','for'], x)))
+        |       / n_tok_d * 5.0, 1.0) * 0.2
+        |   + len(list_distinct(toks)) / n_tok_d * 0.3, 4) >= 0.5),
+        | dup AS (SELECT doc_id FROM (
+        |   SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canon,
+        |          count(*) OVER (PARTITION BY md5(text)) AS c
+        |   FROM documents) WHERE c > 1 AND doc_id <> canon),
+        | samp AS (SELECT doc_id, toks FROM gated
+        |   WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+        |     AND CAST(list_reduce(list_transform(
+        |       string_to_array(substr(md5('e2e' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |       c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |       (a, b) -> a * 16 + b) AS DOUBLE) / 4294967296.0 < 0.5),
+        | ch AS (SELECT doc_id, toks,
+        |   unnest(range(0, CAST(len(toks) AS BIGINT), 40)) AS start FROM samp)
+        |SELECT doc_id, CAST(start // 40 AS INT) AS chunk_id,
+        | array_to_string(toks[CAST(start + 1 AS INT):CAST(start + 40 AS INT)], ' ')
+        |   AS chunk_text,
+        | CAST(least(40, len(toks) - start) AS INT) AS chunk_len
+        |FROM ch""".stripMargin,
+
     "text_stats" ->
       """WITH t AS (SELECT doc_id, text,
         |   string_split(trim(text), ' ') AS toks FROM documents),
@@ -1168,6 +1230,23 @@ object SparkEntry {
         |SELECT event_id, user_id,
         | strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
         | strftime(last_click_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts_s
+        |FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    max(CASE WHEN event_type = 'click' THEN ts END) OVER
+        |      (PARTITION BY user_id
+        |       ORDER BY ts ASC, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END ASC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+        |  FROM e)
+        |WHERE event_type = 'purchase'""".stripMargin,
+
+    "asof_join_tolerance" ->
+      """WITH e AS (SELECT event_id, user_id, ts, event_type FROM events
+        |           WHERE event_type IN ('purchase', 'click'))
+        |SELECT event_id, user_id,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        | strftime(CASE WHEN epoch_us(ts) - epoch_us(last_click_ts)
+        |            <= 3600000000 THEN last_click_ts END,
+        |   '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts_s
         |FROM (
         |  SELECT event_id, user_id, ts, event_type,
         |    max(CASE WHEN event_type = 'click' THEN ts END) OVER

@@ -35,6 +35,20 @@ object TemporalJoins {
       .drop("_is_left")
   }
 
+  /** [[asOf]] with a match tolerance (pandas merge_asof semantics): the
+    * attached right timestamp is nulled when it precedes the left row by
+    * more than `toleranceUs` microseconds — a stale quote is no match.
+    * Same single-shuffle running-max plan; the tolerance is a pure map. */
+  def asOfWithin(left: DataFrame, right: DataFrame, key: String,
+                 tsCol: String, asOfName: String,
+                 toleranceUs: Long): DataFrame = {
+    require(toleranceUs >= 0)
+    asOf(left, right, key, tsCol, asOfName)
+      .withColumn(asOfName,
+        when(unix_micros(col(tsCol)) - unix_micros(col(asOfName))
+          <= toleranceUs, col(asOfName)))
+  }
+
   /** Bounded-range self join: pairs of rows with the same key whose event
     * times differ by at most `rangeUs` microseconds.
     *
