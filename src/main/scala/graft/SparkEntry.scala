@@ -521,6 +521,21 @@ object SparkEntry {
           col("n_sampled"))
     }),
 
+    // Decode → feature-extract bridge: stub features from the payload
+    // digest feed the ANN operators; per-dim values are oracled (the md5
+    // formula is engine-independent), proving the multimodal → embedding
+    // hand-off end to end.
+    "media_features" -> ((s, d) => {
+      val media = Multimodal.asBinaryPayload(T(s, d, "documents"),
+        col("doc_id"), col("text"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio").otherwise("video"))
+      val feats = Multimodal.featureStub(media, dim = 4)
+      feats.select((col("doc_id") +: (0 until 4).map(i =>
+        round(element_at(col("embedding"), i + 1).cast("double"), 6)
+          .as(s"f$i"))): _*)
+    }),
+
     // ---- sessionization (streaming analog, batch form) -----------------
     "sessionize" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
@@ -1214,6 +1229,30 @@ object SparkEntry {
         |   THEN 1 + octet_length(CAST(text AS BLOB)) % 1000
         |   ELSE 1 END AS INT) AS frames
         |FROM documents""".stripMargin,
+
+    "media_features" ->
+      """WITH f AS (SELECT doc_id, md5(text) AS dg FROM documents),
+        | u AS (SELECT doc_id,
+        |   CAST(CAST(CAST(list_reduce(list_transform(
+        |     string_to_array(substr(md5(dg || ':0'), 1, 8), ''),
+        |     c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |     (a, b) -> a * 16 + b) AS DOUBLE) / 4294967296.0 AS REAL) AS DOUBLE) AS f0,
+        |   CAST(CAST(CAST(list_reduce(list_transform(
+        |     string_to_array(substr(md5(dg || ':1'), 1, 8), ''),
+        |     c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |     (a, b) -> a * 16 + b) AS DOUBLE) / 4294967296.0 AS REAL) AS DOUBLE) AS f1,
+        |   CAST(CAST(CAST(list_reduce(list_transform(
+        |     string_to_array(substr(md5(dg || ':2'), 1, 8), ''),
+        |     c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |     (a, b) -> a * 16 + b) AS DOUBLE) / 4294967296.0 AS REAL) AS DOUBLE) AS f2,
+        |   CAST(CAST(CAST(list_reduce(list_transform(
+        |     string_to_array(substr(md5(dg || ':3'), 1, 8), ''),
+        |     c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |     (a, b) -> a * 16 + b) AS DOUBLE) / 4294967296.0 AS REAL) AS DOUBLE) AS f3
+        |  FROM f)
+        |SELECT doc_id, round(f0, 6) AS f0, round(f1, 6) AS f1,
+        |       round(f2, 6) AS f2, round(f3, 6) AS f3
+        |FROM u""".stripMargin,
 
     "frame_sample" ->
       """WITH m AS (SELECT doc_id,

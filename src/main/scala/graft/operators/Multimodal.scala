@@ -68,6 +68,23 @@ object Multimodal {
       }
   }
 
+  /** STUB feature extractor: a deterministic `dim`-dimensional embedding
+    * derived from the payload digest (feature i = 32 bits of
+    * md5(digest ++ ":" ++ i) as a uniform in [0,1)). Replace with a real
+    * vision/audio encoder at the same call site — downstream (similarity
+    * search, embedding dedup) consumes only the (doc_id, embedding) shape.
+    * Pure column algebra: per-row codegen, no shuffle, and exactly
+    * reproducible outside the engine (the oracle recomputes it in SQL). */
+  def featureStub(media: DataFrame, dim: Int): DataFrame = {
+    require(dim > 0)
+    val digest = md5(col("payload"))
+    val feats = (0 until dim).map { i =>
+      (conv(substring(md5(concat(digest, lit(s":$i"))), 1, 8), 16, 10)
+        .cast("double") / lit(4294967296.0)).cast("float")
+    }
+    media.select(col("doc_id"), array(feats: _*).as("embedding"))
+  }
+
   /** Resize plan for image-typed payloads: scale to fit inside
     * (maxW, maxH) preserving aspect ratio (integer math, no decode —
     * the real pixel work happens in the decoder stub's slot). */

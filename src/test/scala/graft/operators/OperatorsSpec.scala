@@ -250,6 +250,25 @@ class MultimodalSpec extends SparkSpecBase {
     assert(r(1L).digest == "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
   }
 
+  test("featureStub embeddings feed the ANN operators end to end") {
+    val docs = (0L until 20L).map(i => (i, s"payload text $i"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.asBinaryPayload(docs, col("doc_id"), col("text"),
+      lit("image"))
+    val feats = Multimodal.featureStub(media, dim = 8)
+      .withColumnRenamed("doc_id", "vec_id")
+    val r = Similarity.bruteForceTopK(
+        feats.filter(col("vec_id") < 2), feats, k = 3)
+      .groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(r == Map(0L -> 3L, 1L -> 3L))
+    // deterministic: same payload -> same embedding
+    val twice = Multimodal.featureStub(media, dim = 8)
+      .select("embedding").collect().map(_.getSeq[Float](0))
+    val once = feats.orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0))
+    assert(twice.toSeq.sortBy(_.head) == once.toSeq.sortBy(_.head))
+  }
+
   test("sampleFrames strides over video frames only") {
     val meta = Seq((1L, "video", 10), (2L, "image", 1))
       .toDF("doc_id", "media_type", "frames")
