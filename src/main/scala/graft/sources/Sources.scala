@@ -75,4 +75,35 @@ object Sources {
       case _ => p.save(path)
     }
   }
+
+  /** Compact a small-files parquet directory into ~`targetFileBytes` files
+    * — the maintenance operator every streaming ingest needs: each
+    * micro-batch writes a file per trigger per partition, and a year of
+    * 1-second triggers is tens of millions of tiny files whose open/footer
+    * costs dominate any later scan. Sizing comes from the actual on-disk
+    * bytes (not a row-count guess); `sortBy` optionally range-clusters
+    * rows while rewriting so min/max row-group stats become selective
+    * (poor man's clustering — the rewrite is the cheap moment to buy
+    * data-skipping). Returns the compacted file count. */
+  def compactParquet(spark: SparkSession, dir: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024,
+                     sortBy: Seq[String] = Nil): Int = {
+    require(targetFileBytes > 0)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(dir)
+    val out =
+      if (sortBy.nonEmpty)
+        df.repartitionByRange(n, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+      else df.repartition(n)
+    val tmp = dir.stripSuffix("/") + "_compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    // atomic-ish swap: remove originals, move compacted files in
+    fs.delete(path, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), path)
+    n
+  }
 }

@@ -53,6 +53,32 @@ class SourcesSpec extends SparkSpecBase {
   }
 }
 
+class CompactionSpec extends graft.SparkSpecBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("compactParquet merges a small-files directory, content preserved") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    // simulate micro-batch dribble: 40 single-row files
+    (0 until 40).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "v")
+        .write.mode("append").parquet(dir)
+    }
+    def parquetFiles() = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles() >= 40)
+    val before = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    val n = graft.sources.Sources.compactParquet(spark, dir,
+      targetFileBytes = 1L << 30, sortBy = Seq("id"))
+    assert(n == 1 && parquetFiles() == 1, s"expected 1 file")
+    val after = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    assert(after == before)
+    // sortBy clustered the rewrite: rows come back in id order per file
+    val ordered = spark.read.parquet(dir).select("id").as[Long].collect()
+    assert(ordered.toSeq == ordered.sorted.toSeq)
+  }
+}
+
 class HeadersAndGuardsSpec extends graft.SparkSpecBase {
   import spark.implicits._
   import org.apache.spark.sql.functions._
