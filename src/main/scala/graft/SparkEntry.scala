@@ -536,6 +536,21 @@ object SparkEntry {
           .as(s"f$i"))): _*)
     }),
 
+    // Z-order clustering key: Morton interleave of (user bucket, value
+    // band) — sort/range-partition by z to co-locate rows close in BOTH
+    // dimensions, making min/max row-group stats selective for 2-D
+    // predicates. The codegen expression is oracled bit-for-bit against a
+    // SQL bit-interleave.
+    "zorder_key" -> ((s, d) =>
+      T(s, d, "events").select(
+        col("event_id"),
+        (col("user_id") % 1024).cast("int").as("ub"),
+        (floor(col("value")).cast("int") % 1024).cast("int").as("vb"))
+        .filter(col("vb") >= 0)
+        .select(col("event_id"),
+          graft.functions.GraftFunctions
+            .zOrder(col("ub"), col("vb")).as("z"))),
+
     // ---- sessionization (streaming analog, batch form) -----------------
     "sessionize" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
@@ -1229,6 +1244,15 @@ object SparkEntry {
         |   THEN 1 + octet_length(CAST(text AS BLOB)) % 1000
         |   ELSE 1 END AS INT) AS frames
         |FROM documents""".stripMargin,
+
+    "zorder_key" ->
+      """SELECT event_id,
+        | CAST(list_sum(list_transform(range(10),
+        |   b -> (((user_id % 1024) >> CAST(b AS INT)) & 1) * (1::BIGINT << CAST(2*b AS INT))
+        |      + (((CAST(floor(value) AS INT) % 1024) >> CAST(b AS INT)) & 1) * (1::BIGINT << CAST(2*b+1 AS INT))))
+        |   AS BIGINT) AS z
+        |FROM events
+        |WHERE CAST(floor(value) AS INT) % 1024 >= 0""".stripMargin,
 
     "media_features" ->
       """WITH f AS (SELECT doc_id, md5(text) AS dg FROM documents),

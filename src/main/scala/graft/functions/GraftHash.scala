@@ -195,6 +195,24 @@ object GraftHash {
     out
   }
 
+  /** Morton/Z-order interleave of two non-negative 31-bit ints: bit b of x
+    * lands at position 2b, bit b of y at 2b+1 (62-bit result, always
+    * non-negative). Range-partitioning + sorting by the z-value clusters
+    * rows that are close in BOTH dimensions into the same files, so
+    * min/max row-group stats prune 2-D predicates — the standard
+    * multi-dimensional data-skipping layout. */
+  def zOrder62(x: Int, y: Int): Long = {
+    require(x >= 0 && y >= 0, s"zOrder62 needs non-negative inputs: $x, $y")
+    var z = 0L
+    var b = 0
+    while (b < 31) {
+      z |= ((x.toLong >> b) & 1L) << (2 * b)
+      z |= ((y.toLong >> b) & 1L) << (2 * b + 1)
+      b += 1
+    }
+    z
+  }
+
   private val md5Local =
     new ThreadLocal[java.security.MessageDigest] {
       override def initialValue(): java.security.MessageDigest =

@@ -230,6 +230,20 @@ case class SimHashMd5(child: Expression)
   override protected def withNewChildInternal(c: Expression): SimHashMd5 = copy(child = c)
 }
 
+/** Morton/Z-order interleave of two non-negative 31-bit int columns. */
+case class ZOrder62(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftHash.zOrder62(a.asInstanceOf[Int], b.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.GraftHash.zOrder62($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrder62 =
+    copy(left = l, right = r)
+}
+
 /** Karp–Rabin rolling fingerprint of a string (order-sensitive 64-bit). */
 case class RollingFingerprint(child: Expression)
     extends UnaryExpression {
@@ -276,6 +290,8 @@ object GraftFunctions {
   def simhash(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
   def simhashMd5(tokens: Column): Column = toCol(SimHashMd5(toExpr(tokens)))
   def fingerprint(c: Column): Column = toCol(RollingFingerprint(toExpr(c)))
+  def zOrder(x: Column, y: Column): Column =
+    toCol(ZOrder62(toExpr(x), toExpr(y)))
   def hamming(a: Column, b: Column): Column =
     toCol(HammingDistance64(toExpr(a), toExpr(b)))
   def stopwordHits(tokens: Column, words: Seq[String]): Column =

@@ -68,6 +68,23 @@ class GraftHashSpec extends AnyFunSuite {
     assert(GraftHash.jaccardSorted(arr(1L, 2L, 3L), arr(2L, 3L, 4L)) == 0.5)
   }
 
+  test("zOrder62: known interleavings and locality") {
+    assert(GraftHash.zOrder62(0, 0) == 0L)
+    assert(GraftHash.zOrder62(1, 0) == 1L)   // x bit 0 -> z bit 0
+    assert(GraftHash.zOrder62(0, 1) == 2L)   // y bit 0 -> z bit 1
+    assert(GraftHash.zOrder62(3, 0) == 5L)   // 0b11 -> 0b0101
+    assert(GraftHash.zOrder62(0, 3) == 10L)  // 0b11 -> 0b1010
+    assert(GraftHash.zOrder62(3, 3) == 15L)
+    assert(GraftHash.zOrder62(Int.MaxValue, Int.MaxValue) ==
+      (1L << 62) - 1)                        // 62 bits, never negative
+    intercept[IllegalArgumentException](GraftHash.zOrder62(-1, 0))
+    // locality: nearby 2-D points have z-values in a bounded band
+    val base = GraftHash.zOrder62(512, 512)
+    val near = for { dx <- 0 to 3; dy <- 0 to 3 }
+      yield GraftHash.zOrder62(512 + dx, 512 + dy)
+    assert(near.forall(z => math.abs(z - base) <= 63))
+  }
+
   test("simHashMd5_60: first-15-hex-chars equivalence, hand-checked") {
     def arr(t: Seq[String]) = new GenericArrayData(t.map(u).toArray[Any])
     // single token: signature = the 60-bit token hash itself (votes = sign
