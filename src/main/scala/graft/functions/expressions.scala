@@ -321,5 +321,9 @@ object GraftFunctions {
       es => RollingFingerprint(asStr(es.head)))
     GraftShims.registerFunction(spark, "graft_hamming",
       es => HammingDistance64(asLong(es(0)), asLong(es(1))))
+    GraftShims.registerFunction(spark, "graft_simhash_md5",
+      es => SimHashMd5(asStrs(es.head)))
+    GraftShims.registerFunction(spark, "graft_zorder",
+      es => ZOrder62(Cast(es(0), IntegerType), Cast(es(1), IntegerType)))
   }
 }

@@ -43,6 +43,14 @@ class ExpressionsSpec extends SparkSpecBase {
     assert(c == 1.0)
     val h = spark.sql("SELECT graft_hamming(7, 0) h").as[Int].head()
     assert(h == 3)
+    val z = spark.sql("SELECT graft_zorder(3, 3) z").as[Long].head()
+    assert(z == 15L)
+    val sm = spark.sql(
+      "SELECT graft_simhash_md5(array('hello')) s").as[Long].head()
+    assert(sm == graft.functions.GraftHash.simHashMd5_60(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](org.apache.spark.unsafe.types.UTF8String
+          .fromString("hello")))))
   }
 
   test("minhash column: equal inputs → equal signatures") {
