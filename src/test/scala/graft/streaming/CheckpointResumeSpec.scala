@@ -53,4 +53,50 @@ class CheckpointResumeSpec extends SparkSpecBase {
     assert(secondIds == Set(5L, 6L),
       s"expected only new records after resume, got $secondIds")
   }
+
+  test("round-robin counter state survives a checkpoint restart (G1 x P3)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-rr-src").toString
+    val ckpt = Files.createTempDirectory("graft-rr-ck").toString
+    val schema = StructType(Seq(
+      StructField("subKey", StringType), StructField("ms", LongType),
+      StructField("src", StringType), StructField("value", StringType)))
+    def addFile(n: Int, vals: Seq[String]): Unit =
+      Files.writeString(Paths.get(s"$in/f$n.json"),
+        vals.zipWithIndex.map { case (v, i) =>
+          s"""{"subKey":"k","ms":${1700000000000L + i},"src":"p0","value":"$v"}"""
+        }.mkString("\n"))
+
+    def runOnce(): Map[String, Int] = {
+      val seen =
+        new java.util.concurrent.ConcurrentHashMap[String, Int]()
+      val ds = spark.readStream.schema(schema).json(in)
+        .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+        .as[SubRecord]
+      val q = StreamingRoundRobin.assign(ds, n = 4).toDF()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => seen.put(
+            r.getAs[String]("value"), r.getAs[Int]("subpartition")))
+        }.start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toMap
+    }
+
+    addFile(1, Seq("v000", "v001", "v002"))
+    val first = runOnce()
+    assert(first == Map("v000" -> 0, "v001" -> 1, "v002" -> 2))
+
+    // new data while "down"; the restarted query must RESUME the counter
+    // at 3 (reference semantics: one counter for the consumer lifetime),
+    // not restart at 0
+    addFile(2, Seq("v003", "v004"))
+    val second = runOnce()
+    assert(second == Map("v003" -> 3, "v004" -> 0),
+      s"counter did not resume from checkpointed state: $second")
+  }
 }
