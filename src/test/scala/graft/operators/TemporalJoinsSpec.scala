@@ -66,6 +66,16 @@ class RecordWeigherSpec extends SparkSpecBase {
     assert(r == 0 + 1 + 1 + 256)
   }
 
+  test("estimateInstanceSize reproduces the reference WeigherHelperTest vectors") {
+    import graft.functions.RecordWeigher.estimateInstanceSize
+    // WeigherHelperTest.java:15-22 (small-heap JVM): the JDK classes the
+    // reference pins; WorkerRecord's 256 is carried as RecordOverheadBytes
+    assert(estimateInstanceSize(classOf[Object], largeHeap = false) == 16)
+    assert(estimateInstanceSize(classOf[java.lang.Byte], largeHeap = false) == 24)
+    assert(estimateInstanceSize(classOf[java.lang.Long], largeHeap = false) == 24)
+    assert(estimateInstanceSize(classOf[String], largeHeap = false) == 48)
+  }
+
   test("estimateInstanceSize: WeigherHelpers rules, hand-computed KATs") {
     import graft.functions.RecordWeigher.estimateInstanceSize
     // two primitives: header 16 + long 8 + int 4 = 28 -> pad to 32
