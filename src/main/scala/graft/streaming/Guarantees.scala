@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
 
+import graft.ProcessingFailureException
 import graft.operators.DeadLetter
 
 /** Processing-guarantee semantics of the reference
@@ -28,4 +29,19 @@ object Guarantees {
   def skipOnFailure(batch: DataFrame,
                     rules: Seq[(String, Column)]): (DataFrame, DataFrame) =
     DeadLetter.split(batch, rules)
+
+  /** `at_least_once` batch wrapper: a failing batch is rethrown as the
+    * taxonomy [[ProcessingFailureException]], so the pipeline terminates
+    * and the ShutdownCallback receives the reference's exception type —
+    * the observable contract of RecordStatusObserverTest (onFailure under
+    * at_least_once wraps the cause in ProcessingFailureException and shuts
+    * the instance down, impl/record/RecordStatusObserverImpl.java:28-37). */
+  def atLeastOnce(body: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      try body(batch, batchId)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          throw new ProcessingFailureException(
+            s"record processing failed in batch $batchId", e)
+      }
 }

@@ -50,6 +50,31 @@ class GraftPipelineSpec extends SparkSpecBase {
     assert(seen.get().exists(_.isDefined))  // callback carried the cause
   }
 
+  test("at_least_once failure surfaces ProcessingFailureException to the callback") {
+    // reference RecordStatusObserverTest.shouldShutdownKafkaWorkers: a
+    // record failure under at_least_once shuts the instance down with
+    // ProcessingFailureException handed to the ShutdownCallback
+    val s = MemoryStream[SubRecord](spark)
+    val ckpt = Files.createTempDirectory("graft-ckpt-alo").toString
+    val seen = new AtomicReference[Option[Option[Throwable]]](None)
+    val p = GraftPipeline.foreachBatch(s.toDF(), ckpt, "100 milliseconds",
+      ex => seen.set(Some(ex)))(Guarantees.atLeastOnce { (batch, _) =>
+      if (batch.count() > 0) throw new RuntimeException("record failed")
+    })
+    s.addData(SubRecord("k", new Timestamp(1000L), "a", "boom"))
+    val st = p.awaitShutdown()
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    st match {
+      case GraftPipeline.ClosedNotGracefully(e) =>
+        assert(chain(e).exists(_.isInstanceOf[graft.ProcessingFailureException]),
+          s"expected ProcessingFailureException in cause chain: $e")
+      case other => fail(s"expected ClosedNotGracefully, got $other")
+    }
+    assert(seen.get().exists(_.exists(
+      t => chain(t).exists(_.isInstanceOf[graft.ProcessingFailureException]))))
+  }
+
   test("status transitions mirror the reference's legality table") {
     import GraftPipeline._
     assert(isTransitionAllowed(Created, Starting))
