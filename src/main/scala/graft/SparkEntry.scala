@@ -1081,7 +1081,7 @@ object SparkEntry {
 
     "doc_chunk" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
-        |           FROM documents),
+        |           FROM documents WHERE length(trim(text)) > 0),
         | c AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tok, toks,
         |         unnest(range(0, CAST(len(toks) AS BIGINT), 20)) AS start
         |       FROM t)

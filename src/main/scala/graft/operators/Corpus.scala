@@ -73,7 +73,10 @@ object Corpus {
                   chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0 && stride > 0)
     val toks = TextFunctions.tokens(text)
-    df.select(id.as("doc_id"), toks.as("toks"))
+    // Zero-token docs yield zero chunks: split("") returns [""], which
+    // would otherwise fabricate one empty chunk with chunk_len=1.
+    df.filter(TextFunctions.tokenCount(text) > 0)
+      .select(id.as("doc_id"), toks.as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tok"),
         posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride))))
       .select(col("doc_id"), col("n_tok"),

@@ -84,14 +84,32 @@ object Sources {
     * bytes (not a row-count guess); `sortBy` optionally range-clusters
     * rows while rewriting so min/max row-group stats become selective
     * (poor man's clustering — the rewrite is the cheap moment to buy
-    * data-skipping). Returns the compacted file count. */
+    * data-skipping). Returns the compacted file count.
+    *
+    * The writing stream MUST be stopped (or paused) for the duration: the
+    * swap replaces the whole directory. Files that appear in `dir` after
+    * the listing snapshot are detected and the compaction aborts rather
+    * than silently destroying them. Crash safety: the original directory
+    * is renamed aside and deleted only after the compacted directory has
+    * taken its place, so no crash point loses data — the worst case leaves
+    * the dataset at `dir_compact_old` with the compacted copy at
+    * `dir_compact_tmp`, both intact. */
   def compactParquet(spark: SparkSession, dir: String,
                      targetFileBytes: Long = 128L * 1024 * 1024,
                      sortBy: Seq[String] = Nil): Int = {
     require(targetFileBytes > 0)
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(path).getLength
+
+    def snapshot(): Map[String, Long] = {
+      val it = fs.listFiles(path, true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val s = it.next(); b += s.getPath.toString -> s.getLen }
+      b.result()
+    }
+
+    val before = snapshot()
+    val bytes = before.valuesIterator.sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(dir)
     val out =
@@ -99,11 +117,25 @@ object Sources {
         df.repartitionByRange(n, sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*)
       else df.repartition(n)
-    val tmp = dir.stripSuffix("/") + "_compact_tmp"
-    out.write.mode("overwrite").parquet(tmp)
-    // atomic-ish swap: remove originals, move compacted files in
-    fs.delete(path, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), path)
+    val tmp = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "_compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "_compact_old")
+    out.write.mode("overwrite").parquet(tmp.toString)
+    if (snapshot() != before) {
+      fs.delete(tmp, true)
+      throw new graft.GraftException(
+        s"$dir changed during compaction (concurrent writer?); aborted — " +
+          "stop the ingest stream before compacting")
+    }
+    // swap: originals aside -> compacted in -> drop originals. Deletion
+    // happens only after the compacted copy is live at the original path.
+    fs.delete(old, true)
+    if (!fs.rename(path, old))
+      throw new graft.GraftException(s"could not move $dir aside to $old")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path) // restore; best effort
+      throw new graft.GraftException(s"could not move compacted $tmp into $dir")
+    }
+    fs.delete(old, true)
     n
   }
 }

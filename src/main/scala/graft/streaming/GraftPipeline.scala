@@ -118,27 +118,45 @@ final class GraftPipeline private (query: StreamingQuery,
     fullyStopped
   }
 
+  private val callbackFired = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** Walk the remaining transitions to a terminal status and fire the
-    * callback exactly once (re-entry returns the terminal already set). */
+    * callback exactly once (re-entry returns the terminal already set).
+    * The terminal status is decided under the lock, but the user callback
+    * runs AFTER the lock is released — a slow/blocking ShutdownCallback
+    * must not stall concurrent shutdown()/awaitShutdown()/status callers.
+    * CannotStopThreads always hands the callback a cause (synthesized if
+    * none was recorded) so it can never read as a graceful close. */
   private def finalizeClose(terminal: Option[Status] = None,
                             interrupt: Option[Throwable] = None,
-                            forced: Boolean = false): Status =
-    closeLock.synchronized {
-      if (_status.isTerminal) return _status
-      tryToSetStatus(Shutdown)
-      tryToSetStatus(Closing)
-      val cause: Option[Throwable] = externalCause
-        .orElse(Option(query.exception.orNull))
-        .orElse(interrupt)
-        .orElse(if (forced) Some(new GraftException(
-          s"query did not stop gracefully within ${shutdownTimeoutMs} ms; " +
-            "stopped by forced job cancellation")) else None)
-      val t = terminal.getOrElse(
-        cause.map(ClosedNotGracefully).getOrElse(ClosedGracefully))
-      setStatus(t)
-      onShutdown(cause)
-      _status
+                            forced: Boolean = false): Status = {
+    val (t, cause, fire) = closeLock.synchronized {
+      if (_status.isTerminal) (_status, None, false)
+      else {
+        tryToSetStatus(Shutdown)
+        tryToSetStatus(Closing)
+        val recorded: Option[Throwable] = externalCause
+          .orElse(Option(query.exception.orNull))
+          .orElse(interrupt)
+          .orElse(if (forced) Some(new GraftException(
+            s"query did not stop gracefully within ${shutdownTimeoutMs} ms; " +
+              "stopped by forced job cancellation")) else None)
+        val t = terminal.getOrElse(
+          recorded.map(ClosedNotGracefully).getOrElse(ClosedGracefully))
+        val cause = t match {
+          case CannotStopThreads if recorded.isEmpty =>
+            Some(new GraftException(
+              s"query threads still alive after two shutdown phases of " +
+                s"$shutdownTimeoutMs ms each (CANNOT_STOP_THREADS)"))
+          case _ => recorded
+        }
+        setStatus(t)
+        (t, cause, callbackFired.compareAndSet(false, true))
+      }
     }
+    if (fire) onShutdown(cause)
+    t
+  }
 
   def underlying: StreamingQuery = query
 }

@@ -38,7 +38,11 @@ object StreamingRoundRobin {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_, rows, state) =>
           var counter = state.getOption.getOrElse(0L)
-          val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.value)).map { r =>
+          // (ts, value, subKey) is a total order over distinct records —
+          // (ts, value) alone lets equal-payload records on different
+          // subKeys swap assignments across micro-batch replays
+          val out = rows.toSeq
+            .sortBy(r => (r.ts.getTime, r.value, r.subKey)).map { r =>
             val sp = (counter % n).toInt
             counter += 1
             AssignedRecord(r.subKey, r.ts, r.src, r.value, sp)

@@ -15,7 +15,8 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   * staleness, since Spark has no per-record hang detection (SURVEY.md §7.3
   * hard part 4 — the semantic delta is documented there).
   */
-class WorkersMetricsListener(val processingTimeoutMs: Long = 300000L)
+class WorkersMetricsListener(val processingTimeoutMs: Long = 300000L,
+                             watchId: Option[java.util.UUID] = None)
     extends StreamingQueryListener {
 
   /** metric name → value, reference-style names. */
@@ -23,12 +24,24 @@ class WorkersMetricsListener(val processingTimeoutMs: Long = 300000L)
   @volatile var lastProgressAtMs: Long = System.currentTimeMillis()
   @volatile var terminated: Option[String] = None
 
+  /** The query this listener watches. Listeners are registered
+    * session-wide, so without a filter ANY query's progress would reset
+    * the staleness clock and the watchdog could never fire while an
+    * unrelated query kept progressing. Fixed via `watchId`, or adopted
+    * from the first query that starts after registration. */
+  @volatile private var _watchId: Option[java.util.UUID] = watchId
+
+  private def watches(id: java.util.UUID): Boolean =
+    _watchId.contains(id)
+
   override def onQueryStarted(e: QueryStartedEvent): Unit = {
-    metrics.put("worker-threads.started", 1L)
+    if (_watchId.isEmpty) _watchId = Some(e.id)
+    if (watches(e.id)) metrics.put("worker-threads.started", 1L)
   }
 
   override def onQueryProgress(e: QueryProgressEvent): Unit = {
     val p = e.progress
+    if (!watches(p.id)) return
     lastProgressAtMs = System.currentTimeMillis()
     metrics.put("consumed-offset.batch-id", p.batchId)
     metrics.put("input-records.poll-size", p.numInputRows)
@@ -46,6 +59,7 @@ class WorkersMetricsListener(val processingTimeoutMs: Long = 300000L)
   }
 
   override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
+    if (!watches(e.id)) return
     terminated = Some(e.exception.getOrElse("graceful"))
     metrics.put("worker-threads.stopped", 1L)
   }

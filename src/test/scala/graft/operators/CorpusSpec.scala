@@ -55,6 +55,16 @@ class CorpusSpec extends SparkSpecBase {
     assert(r(3)._2 == "t25" && r(3)._3 == 1)
   }
 
+  test("chunkTokens emits zero chunks for empty/whitespace-only docs") {
+    // split("") yields [""]; without the zero-token guard an empty doc
+    // would fabricate one empty chunk with chunk_len=1 (ADVICE r2)
+    val mixed = Seq((1L, ""), (2L, "   "), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val r = Corpus.chunkTokens(mixed, col("doc_id"), col("text"), 10, 10)
+      .select("doc_id").as[Long].collect()
+    assert(r.toSeq == Seq(3L), s"expected only doc 3, got ${r.toSeq}")
+  }
+
   test("non-overlapping chunks reconstruct every document exactly") {
     // stride == chunkSize -> concatenating chunks in order gives the doc
     val r = Corpus.chunkTokens(docs, col("doc_id"), col("text"),

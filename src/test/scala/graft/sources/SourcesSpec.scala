@@ -76,6 +76,14 @@ class CompactionSpec extends graft.SparkSpecBase {
     // sortBy clustered the rewrite: rows come back in id order per file
     val ordered = spark.read.parquet(dir).select("id").as[Long].collect()
     assert(ordered.toSeq == ordered.sorted.toSeq)
+    // the swap left no intermediate directories behind
+    val parent = new java.io.File(dir).getParentFile
+    assert(!parent.listFiles().exists(_.getName.contains("_compact_")),
+      s"leftover swap dirs: ${parent.listFiles().map(_.getName).toSeq}")
+    // idempotent: a second compaction of an already-compact dir is safe
+    assert(graft.sources.Sources.compactParquet(spark, dir,
+      targetFileBytes = 1L << 30) == 1)
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet == after)
   }
 }
 

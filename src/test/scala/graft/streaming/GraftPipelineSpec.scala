@@ -131,7 +131,9 @@ class GraftPipelineSpec extends SparkSpecBase {
   test("forced shutdown that cannot stop the query -> CannotStopThreads") {
     val s = MemoryStream[SubRecord](spark)
     val ckpt = Files.createTempDirectory("graft-ckpt4").toString
+    val seen = new AtomicReference[Option[Option[Throwable]]](None)
     val p = GraftPipeline.foreachBatch(s.toDF(), ckpt, "100 milliseconds",
+      onShutdown = ex => seen.set(Some(ex)),
       shutdownTimeoutMs = 500L) { (batch, _) =>
       if (batch.count() > 0) {
         // stubborn: swallow interrupts, like a worker thread that won't die
@@ -146,5 +148,9 @@ class GraftPipelineSpec extends SparkSpecBase {
     val st = p.shutdown()
     assert(st == GraftPipeline.CannotStopThreads)
     assert(p.status.isTerminal)
+    // the callback must NOT read as a graceful close: a synthetic cause
+    // is passed when nothing was recorded (ADVICE r2)
+    assert(seen.get().exists(_.nonEmpty),
+      s"CannotStopThreads fired callback with ${seen.get()}")
   }
 }

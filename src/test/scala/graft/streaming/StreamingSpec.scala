@@ -178,4 +178,29 @@ class ListenerSpec extends SparkSpecBase {
       spark.streams.removeListener(listener)
     }
   }
+
+  test("listener ignores progress from queries it does not watch") {
+    // a listener pinned to an unrelated query id must not have its
+    // staleness clock reset by other queries' progress (ADVICE r2):
+    // otherwise the watchdog can never fire while ANY query progresses
+    val listener = new WorkersMetricsListener(processingTimeoutMs = 60000L,
+      watchId = Some(java.util.UUID.randomUUID()))
+    spark.streams.addListener(listener)
+    val s = MemoryStream[SubRecord](spark)
+    val q = s.toDS().writeStream.format("memory").queryName("lst_other")
+      .outputMode("append").start()
+    try {
+      val before = listener.lastProgressAtMs
+      s.addData(SubRecord("k", new Timestamp(1000L), "a", "v"))
+      q.processAllAvailable()
+      Thread.sleep(500) // let async listener events drain
+      assert(listener.metrics.isEmpty,
+        s"foreign query leaked metrics: ${listener.metrics}")
+      assert(listener.lastProgressAtMs == before,
+        "foreign query reset the staleness clock")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
 }
