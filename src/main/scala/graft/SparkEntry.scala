@@ -391,6 +391,13 @@ object SparkEntry {
       Dedup.tokenJaccardPairs(T(s, d, "documents"), col("doc_id"), col("text"),
         block = Seq(col("lang")), threshold = 0.97)),
 
+    // Transitive closure of near-dup pairs: connected components (min-label
+    // propagation + pointer jumping) → one canonical doc per cluster.
+    "dedup_cluster" -> ((s, d) =>
+      Dedup.duplicateClusters(
+        Dedup.tokenJaccardPairs(T(s, d, "documents"), col("doc_id"),
+          col("text"), block = Seq(col("lang")), threshold = 0.9))),
+
     // hyperplane-LSH blocking: recall < 1 by construction -> rows-only.
     "dedup_embedding_lsh" -> ((s, d) =>
       Dedup.embeddingLshPairs(T(s, d, "embeddings"), col("vec_id"),
@@ -1033,6 +1040,29 @@ object SparkEntry {
         |   >= 0.97 * CAST(greatest(len(a.s), len(b.s)) AS DOUBLE)
         |  AND round(len(list_intersect(a.s, b.s)) * 1.0
         |   / len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.97""".stripMargin,
+
+    // Exact closure oracle: recursive reachability over the same pair set,
+    // component = min reachable id (matches min-label propagation exactly).
+    "dedup_cluster" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, lang,
+        |   list_distinct(string_split(trim(text), ' ')) AS s FROM documents),
+        | pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |   FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |   WHERE CAST(least(len(a.s), len(b.s)) AS DOUBLE)
+        |       >= 0.9 * CAST(greatest(len(a.s), len(b.s)) AS DOUBLE)
+        |     AND round(len(list_intersect(a.s, b.s)) * 1.0
+        |       / len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.9),
+        | edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |           UNION SELECT id_b, id_a FROM pairs),
+        | reach AS (
+        |   SELECT u AS id, u AS comp FROM edges
+        |   UNION
+        |   SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+        | cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+        | sz AS (SELECT component, count(*) AS cluster_size FROM cc
+        |        GROUP BY component)
+        |SELECT cc.id AS doc_id, cc.component, sz.cluster_size
+        |FROM cc JOIN sz USING (component)""".stripMargin,
 
     "dedup_embedding" ->
       """WITH x AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,

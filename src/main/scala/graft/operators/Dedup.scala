@@ -283,6 +283,96 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Connected components over an undirected edge list — the closure step
+    * of every near-dup pipeline: pairwise edges (from [[minhashLsh]],
+    * [[simhashPairsFromSig]], [[tokenJaccardPairs]], [[embeddingLshPairs]])
+    * say "A duplicates B", but keep-one-per-cluster needs the transitive
+    * closure (A~B, B~C ⇒ {A,B,C} is ONE cluster with one canonical doc).
+    * Returns (id, component) for every node appearing in an edge, where
+    * component = smallest node id reachable from `id` — deterministic, so
+    * an exact SQL oracle (recursive closure) can verify it.
+    *
+    * Algorithm: distributed min-label propagation with path halving. Each
+    * round does (1) a neighbor-min step — every node adopts the smallest
+    * label among itself and its neighbors (join + map-side-combinable min
+    * aggregation, both keyed by node id) — and (2) a pointer-jump step —
+    * every node re-reads the label of its own label (labels always name
+    * nodes, so this is an equi-self-join on the label frame). Neighbor
+    * steps alone need O(diameter) rounds; the jump step contracts chains
+    * exponentially (the Hash-to-Min shape, Rastogi et al. 2013), so long
+    * dup-chains still converge in O(log diameter). Duplicate clusters are
+    * near-cliques in practice — 2-3 rounds end it.
+    *
+    * Scale: per-round state is (id, component) = 16 bytes per node; every
+    * step is an equi-join/aggregation on node id (AQE-planned, skew-safe,
+    * spillable). Each round's labels are CHECKPOINTED, not merely
+    * persisted: the jump step self-joins the label frame, so the logical
+    * plan would double every round — 2^rounds plan nodes — and plan
+    * analysis itself OOMs long before any data moves. localCheckpoint
+    * truncates both lineage and plan to constant depth (on a cluster,
+    * configure a checkpoint dir and swap in reliable `.checkpoint()` to
+    * also survive executor loss). Nothing is collected to the driver —
+    * convergence is detected from the sum of labels, which strictly
+    * decreases until fixpoint (one scalar action per round). */
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+                          maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sym = edges.select(col(src).as("u"), col(dst).as("v"))
+      .union(edges.select(col(dst).as("u"), col(src).as("v")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("u").as("id"))
+      .distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // (1) neighbor-min: smallest label among self and all neighbors
+      val nbrMin = sym
+        .join(labels.select(col("id").as("v"), col("comp").as("vcomp")), "v")
+        .groupBy("u").agg(min(col("vcomp")).as("nbr"))
+        .select(col("u").as("id"), col("nbr"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+      // (2) pointer jump: comp := comp(comp). comp(x) <= x, so every label
+      // is itself a node id and the inner join always matches.
+      val next = stepped
+        .join(stepped.select(col("id").as("jid"), col("comp").as("jcomp")),
+          col("comp") === col("jid"))
+        .select(col("id"), col("jcomp").as("comp"))
+        .localCheckpoint(true)
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    if (!converged)
+      throw new graft.GraftException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "raise maxIter (component diameter exceeds 2^maxIter)")
+    labels
+  }
+
+  /** Duplicate clusters from near-dup pair edges: every doc that belongs
+    * to a multi-doc cluster, its canonical (smallest) member, and the
+    * cluster size — the "which docs do I drop" frame of a dedup pass. */
+  def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
+                        idB: String = "id_b"): DataFrame = {
+    val cc = connectedComponents(pairs, idA, idB)
+    val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "comp")
+      .select(col("id").as("doc_id"), col("comp").as("component"),
+        col("cluster_size"))
+  }
+
   /** Embedding cosine near-dup, blocked to keep the pair space linear. */
   def embeddingNearDup(vecs: DataFrame, id: Column, vec: Column,
                        block: Column, threshold: Double): DataFrame = {

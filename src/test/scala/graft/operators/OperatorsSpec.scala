@@ -87,6 +87,44 @@ class DedupSpec extends SparkSpecBase {
   }
 }
 
+class ComponentsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("connectedComponents closes transitive chains to min-id labels") {
+    // components: {1,2,3} (chain), {10,11} (pair), {20,21,22,23} (star)
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (20L, 22L), (20L, 23L)).toDF("id_a", "id_b")
+    val r = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
+  test("pointer jumping converges on a long path in O(log n) rounds") {
+    // a 200-node path is the worst case for plain propagation (diameter
+    // 199); with the jump step it must converge well within 25 rounds
+    val edges = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val r = Dedup.connectedComponents(edges, "id_a", "id_b", maxIter = 12)
+      .as[(Long, Long)].collect()
+    assert(r.length == 200 && r.forall(_._2 == 0L))
+  }
+
+  test("maxIter guard throws instead of returning partial labels") {
+    val edges = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[graft.GraftException] {
+      Dedup.connectedComponents(edges, "id_a", "id_b", maxIter = 2)
+    }
+  }
+
+  test("duplicateClusters reports every member with canonical + size") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val r = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L)))
+  }
+}
+
 class SimhashMd5KernelSpec extends SparkSpecBase {
   import spark.implicits._
 
