@@ -231,6 +231,169 @@ object SparkEntry {
         .except(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
     }),
 
+    // Multiset semantics: EXCEPT ALL subtracts multiplicities (lineitem
+    // has several rows per orderkey; one instance is cancelled per F
+    // order), INTERSECT ALL keeps min multiplicity. Both aggregate after,
+    // so the oracle compares the full multiset behavior compactly.
+    "set_except_all" -> ((s, d) => {
+      T(s, d, "lineitem").select(col("l_orderkey").as("k"))
+        .exceptAll(T(s, d, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey").as("k")))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    }),
+
+    "set_intersect_all" -> ((s, d) => {
+      val li = T(s, d, "lineitem")
+      li.filter(col("l_quantity") >= 25).select(col("l_orderkey").as("k"))
+        .intersectAll(li.filter(col("l_discount") <= 0.03)
+          .select(col("l_orderkey").as("k")))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    }),
+
+    "union_all" -> ((s, d) => {
+      val li = T(s, d, "lineitem")
+      li.filter(col("l_quantity") >= 40).select(col("l_returnflag").as("flag"))
+        .unionAll(li.filter(col("l_discount") >= 0.05)
+          .select(col("l_returnflag").as("flag")))
+        .groupBy(col("flag")).agg(count(lit(1)).as("n"))
+    }),
+
+    // Full outer join: both sides keyed aggregates/filters with
+    // non-overlapping key sets, so null-padding fires on both sides.
+    "join_full" -> ((s, d) => {
+      val o = T(s, d, "orders").filter(col("o_custkey") % 3 === 0)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("spend"))
+      val c = T(s, d, "customer").filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey").as("custkey"), col("c_name"))
+      o.join(c, Seq("custkey"), "full_outer")
+        .select(col("custkey"), col("n_orders"), col("spend"), col("c_name"))
+    }),
+
+    // Deliberate cross of two tiny dimensions (5 x 25 rows): plans as a
+    // broadcast nested-loop, NOT a CartesianProduct shuffle — the only
+    // shape a cross join is ever acceptable in at scale.
+    "join_cross" -> ((s, d) =>
+      T(s, d, "region").crossJoin(T(s, d, "nation"))
+        .select(col("r_name"), col("n_name"),
+          (col("r_regionkey") === col("n_regionkey")).as("home"))),
+
+    // Lateral fan-out: posexplode with position — per-row codegen'd
+    // generation, no shuffle at all.
+    "explode_pos" -> ((s, d) =>
+      T(s, d, "documents").filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+        .filter(col("pos") < 8)),
+
+    "window_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      T(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        first(col("o_orderkey")).over(w).as("cheapest_key"))
+    }),
+
+    // Statistical aggregates. skewness/kurtosis are verified against a
+    // first-principles central-moment oracle (Spark's definitions are the
+    // population moments: sqrt(n)·M3/M2^1.5 and n·M4/M2²−3); min_by/max_by
+    // get a unique composite ordering key so ties can't make the result
+    // engine-dependent.
+    "stat_aggs" -> ((s, d) => {
+      val ord = round(col("l_extendedprice") * 100).cast("long") *
+        lit(10000000L) + col("l_orderkey")
+      T(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("covar_qp"),
+          round(covar_pop(col("l_quantity"), col("l_discount")), 8).as("covar_qd"),
+          round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+          round(var_samp(col("l_discount")), 8).as("var_disc"),
+          round(skewness(col("l_extendedprice")), 4).as("skew_price"),
+          round(kurtosis(col("l_extendedprice")), 4).as("kurt_price"),
+          max_by(col("l_orderkey"), ord).as("priciest_order"),
+          min_by(col("l_orderkey"), ord).as("cheapest_order"))
+    }),
+
+    // Wide→long unpivot (Expand node: no shuffle until the aggregate).
+    "unpivot_measures" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .groupBy(col("l_returnflag"), col("measure"))
+        .agg(round(sum(col("val")), 2).as("total"))),
+
+    "scalar_bitwise" -> ((s, d) =>
+      T(s, d, "events").filter(col("event_id") % 11 === 0)
+        .select(col("event_id"),
+          col("event_id").bitwiseAND(lit(255L)).as("and8"),
+          col("event_id").bitwiseOR(lit(4096L)).as("or12"),
+          col("event_id").bitwiseXOR(col("user_id")).as("xor_uid"),
+          bit_count(col("event_id")).cast("int").as("bits"),
+          shiftleft(col("event_id"), 3).as("shl3"),
+          shiftright(col("event_id"), 2).as("shr2"))),
+
+    // MapType surface: JSON→map, map literal, map_concat, entry explode.
+    "map_ops" -> ((s, d) =>
+      T(s, d, "events").filter(col("event_id") % 13 === 0)
+        .select(col("event_id"),
+          explode(map_concat(
+            from_json(col("props"),
+              org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")),
+            map(lit("type"), col("event_type")))).as(Seq("key", "val")))),
+
+    // PII-style masking: digit runs redacted + counted (the corpus-prep
+    // scrub pass); all codegen'd regexp column ops.
+    "pii_redact" -> ((s, d) =>
+      T(s, d, "events").filter(col("event_id") % 17 === 0)
+        .select(col("event_id"),
+          concat(col("event_type"), lit(" user="), col("user_id"),
+            lit(" props="), col("props")).as("msg"))
+        .select(col("event_id"),
+          regexp_replace(col("msg"), "[0-9]+", "<NUM>").as("redacted"),
+          size(regexp_extract_all(col("msg"), lit("[0-9]+"), lit(0)))
+            .as("num_runs"))),
+
+    // Gopher/C4-style quality rule bundle: length band, mean-word-length
+    // band, 2-gram repetition, any-language stopword evidence — emitted as
+    // per-rule booleans + the composite gate.
+    "quality_filter" -> ((s, d) => {
+      val allStop = TextFunctions.stopwords.values.flatten.toSeq
+      T(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          TextFunctions.tokens(col("text")).as("toks"),
+          TextFunctions.tokenCount(col("text")).as("n_tok"),
+          TextFunctions.wordNGrams(col("text"), 2).as("grams"))
+        .select(col("doc_id"), col("n_tok"),
+          when(size(col("grams")) === 0, lit(0.0))
+            .otherwise(round(lit(1.0) -
+              size(array_distinct(col("grams"))).cast("double") /
+                size(col("grams")).cast("double"), 4)).as("rep2"),
+          col("n_tok").between(10, 1000).as("len_ok"),
+          (col("n_tok") > 0 &&
+            ((length(col("text")).cast("double") - (col("n_tok") - 1)) /
+              col("n_tok")).between(2.0, 12.0)).as("wl_ok"),
+          (TextFunctions.stopwordHits(col("toks"), allStop) >= 2).as("stop_ok"))
+        .withColumn("rep_ok", col("rep2") <= 0.2)
+        .withColumn("pass",
+          col("len_ok") && col("wl_ok") && col("stop_ok") && col("rep_ok"))
+    }),
+
+    // Per-label centroids in long form: posexplode + partial aggregation —
+    // the map-side combine reduces the shuffle to labels×dims rows no
+    // matter the corpus size (this is one Lloyd step of IVF training).
+    "embedding_centroid" -> ((s, d) =>
+      T(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(round(avg(col("v")), 5).as("c"), count(lit(1)).as("n"))),
+
     "scalar_string" -> ((s, d) => {
       T(s, d, "part").select(
         col("p_partkey"),
@@ -820,6 +983,152 @@ object SparkEntry {
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+
+    "set_except_all" ->
+      """SELECT k, count(*) AS n FROM (
+        |  SELECT l_orderkey AS k FROM lineitem
+        |  EXCEPT ALL
+        |  SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY k""".stripMargin,
+
+    "set_intersect_all" ->
+      """SELECT k, count(*) AS n FROM (
+        |  SELECT l_orderkey AS k FROM lineitem WHERE l_quantity >= 25
+        |  INTERSECT ALL
+        |  SELECT l_orderkey FROM lineitem WHERE l_discount <= 0.03)
+        |GROUP BY k""".stripMargin,
+
+    "union_all" ->
+      """SELECT flag, count(*) AS n FROM (
+        |  SELECT l_returnflag AS flag FROM lineitem WHERE l_quantity >= 40
+        |  UNION ALL
+        |  SELECT l_returnflag FROM lineitem WHERE l_discount >= 0.05)
+        |GROUP BY flag""".stripMargin,
+
+    "join_full" ->
+      """WITH o AS (SELECT o_custkey AS custkey, count(*) AS n_orders,
+        |             round(sum(o_totalprice), 2) AS spend
+        |           FROM orders WHERE o_custkey % 3 = 0 GROUP BY 1),
+        | c AS (SELECT c_custkey AS custkey, c_name FROM customer
+        |       WHERE c_custkey % 5 = 0)
+        |SELECT coalesce(o.custkey, c.custkey) AS custkey,
+        |       o.n_orders, o.spend, c.c_name
+        |FROM o FULL OUTER JOIN c ON o.custkey = c.custkey""".stripMargin,
+
+    "join_cross" ->
+      """SELECT r_name, n_name, r_regionkey = n_regionkey AS home
+        |FROM region CROSS JOIN nation""".stripMargin,
+
+    "explode_pos" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |           FROM documents WHERE doc_id % 7 = 0),
+        | e AS (SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS INT)
+        |         AS pos, unnest(toks) AS tok FROM t)
+        |SELECT doc_id, pos, tok FROM e WHERE pos < 8""".stripMargin,
+
+    "window_ntile" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | CAST(ntile(4) OVER w AS INT) AS quartile,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cume,
+        | first_value(o_orderkey) OVER w AS cheapest_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
+
+    "stat_aggs" ->
+      """WITH dev AS (SELECT l_returnflag AS f, l_quantity AS q,
+        |   l_extendedprice AS p, l_discount AS dc, l_orderkey AS k,
+        |   l_extendedprice
+        |     - avg(l_extendedprice) OVER (PARTITION BY l_returnflag) AS d
+        | FROM lineitem)
+        |SELECT f AS l_returnflag,
+        | round(corr(q, p), 6) AS corr_qp,
+        | round(covar_samp(q, p), 4) AS covar_qp,
+        | round(covar_pop(q, dc), 8) AS covar_qd,
+        | round(stddev_samp(p), 4) AS sd_price,
+        | round(var_samp(dc), 8) AS var_disc,
+        | round((sum(d*d*d)/count(*)) / pow(sum(d*d)/count(*), 1.5), 4)
+        |   AS skew_price,
+        | round((sum(d*d*d*d)*count(*)) / pow(sum(d*d), 2) - 3, 4)
+        |   AS kurt_price,
+        | arg_max(k, CAST(round(p*100) AS BIGINT) * 10000000 + k)
+        |   AS priciest_order,
+        | arg_min(k, CAST(round(p*100) AS BIGINT) * 10000000 + k)
+        |   AS cheapest_order
+        |FROM dev GROUP BY 1""".stripMargin,
+
+    "unpivot_measures" ->
+      """SELECT l_returnflag, measure, round(sum(val), 2) AS total FROM (
+        |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "scalar_bitwise" ->
+      """SELECT event_id,
+        | event_id & 255 AS and8,
+        | event_id | 4096 AS or12,
+        | xor(event_id, user_id) AS xor_uid,
+        | CAST(bit_count(event_id) AS INT) AS bits,
+        | event_id << 3 AS shl3,
+        | event_id >> 2 AS shr2
+        |FROM events WHERE event_id % 11 = 0""".stripMargin,
+
+    "map_ops" ->
+      """SELECT event_id, 'k' AS key, json_extract_string(props, '$.k') AS val
+        |FROM events WHERE event_id % 13 = 0
+        |UNION ALL
+        |SELECT event_id, 'type', event_type
+        |FROM events WHERE event_id % 13 = 0""".stripMargin,
+
+    "pii_redact" ->
+      """WITH m AS (SELECT event_id,
+        |   event_type || ' user=' || CAST(user_id AS VARCHAR)
+        |     || ' props=' || props AS msg
+        | FROM events WHERE event_id % 17 = 0)
+        |SELECT event_id,
+        | regexp_replace(msg, '[0-9]+', '<NUM>', 'g') AS redacted,
+        | CAST(len(regexp_extract_all(msg, '[0-9]+')) AS INT) AS num_runs
+        |FROM m""".stripMargin,
+
+    "quality_filter" ->
+      """WITH t AS (SELECT doc_id, text,
+        |   string_split(trim(text), ' ') AS toks FROM documents),
+        | b AS (SELECT doc_id, text, toks,
+        |   CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tok,
+        |   list_transform(range(1, len(toks)),
+        |     i -> toks[i] || ' ' || toks[i+1]) AS grams
+        | FROM t),
+        | c AS (SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
+        |   CASE WHEN len(grams) = 0 THEN 0.0
+        |        ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+        |               / len(grams), 4) END AS rep2,
+        |   n_tok BETWEEN 10 AND 1000 AS len_ok,
+        |   n_tok > 0 AND (CAST(length(text) AS DOUBLE) - (n_tok - 1)) / n_tok
+        |     BETWEEN 2.0 AND 12.0 AS wl_ok,
+        |   len(list_filter(toks, x -> list_contains(
+        |     ['the','a','of','and','to','in','is','that','it','for',
+        |      'der','die','das','und','ist','nicht','ein','mit','zu','auf',
+        |      'el','la','de','que','y','en','un','por','con','para',
+        |      'le','et','est','pour','dans','sur',
+        |      '的','是','了','在','和','有','我','不','人','这'], x))) >= 2
+        |     AS stop_ok
+        | FROM b)
+        |SELECT doc_id, n_tok, rep2, len_ok, wl_ok, stop_ok,
+        | rep2 <= 0.2 AS rep_ok,
+        | len_ok AND wl_ok AND stop_ok AND rep2 <= 0.2 AS pass
+        |FROM c""".stripMargin,
+
+    "embedding_centroid" ->
+      """WITH x AS (SELECT label,
+        |   CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+        |   CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
+        |SELECT label, dim, round(avg(v), 5) AS c, count(*) AS n
+        |FROM x GROUP BY 1, 2""".stripMargin,
 
     "scalar_string" ->
       """SELECT p_partkey,
