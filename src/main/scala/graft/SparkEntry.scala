@@ -773,6 +773,26 @@ object SparkEntry {
               |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin)
     }),
 
+    // Recursive CTE (Spark 4 WITH RECURSIVE): generate the month spine
+    // between the first and last order date, then gap-fill order counts —
+    // months with no orders appear with cnt=0. Bounds are carried through
+    // the recursion so no subquery appears inside the recursive branch.
+    "sql_recursive" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """WITH RECURSIVE months(m, hi) AS (
+          |  SELECT date_trunc('MONTH', min(o_orderdate)),
+          |         date_trunc('MONTH', max(o_orderdate)) FROM orders
+          |  UNION ALL
+          |  SELECT m + INTERVAL '1' MONTH, hi FROM months WHERE m < hi
+          |)
+          |SELECT date_format(m, 'yyyy-MM') AS month_s,
+          |       count(o_orderkey) AS cnt
+          |FROM months LEFT JOIN orders
+          |  ON date_trunc('MONTH', o_orderdate) = m
+          |GROUP BY 1""".stripMargin)
+    }),
+
     "sql_scalar_subquery" -> ((s, d) => {
       Tables.registerAll(s, d)
       s.sql("""SELECT o_orderkey, o_totalprice FROM orders
@@ -1669,6 +1689,18 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+
+    "sql_recursive" ->
+      """WITH RECURSIVE months(m, hi) AS (
+        |  SELECT date_trunc('month', min(o_orderdate)),
+        |         date_trunc('month', max(o_orderdate)) FROM orders
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi
+        |)
+        |SELECT strftime(m, '%Y-%m') AS month_s, count(o_orderkey) AS cnt
+        |FROM months LEFT JOIN orders
+        |  ON date_trunc('month', o_orderdate) = m
+        |GROUP BY 1""".stripMargin,
 
     "sql_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
