@@ -368,13 +368,11 @@ object SparkEntry {
       T(s, d, "documents")
         .select(col("doc_id"), col("text"),
           TextFunctions.tokens(col("text")).as("toks"),
-          TextFunctions.tokenCount(col("text")).as("n_tok"),
-          TextFunctions.wordNGrams(col("text"), 2).as("grams"))
+          TextFunctions.tokenCount(col("text")).as("n_tok"))
         .select(col("doc_id"), col("n_tok"),
-          when(size(col("grams")) === 0, lit(0.0))
-            .otherwise(round(lit(1.0) -
-              size(array_distinct(col("grams"))).cast("double") /
-                size(col("grams")).cast("double"), 4)).as("rep2"),
+          // codegen'd kernel: one pass, no gram-string materialization
+          // (an interpreted transform(...) lambda here costs ~4x)
+          round(GraftFunctions.ngramRepetition(col("toks"), 2), 4).as("rep2"),
           col("n_tok").between(10, 1000).as("len_ok"),
           (col("n_tok") > 0 &&
             ((length(col("text")).cast("double") - (col("n_tok") - 1)) /
@@ -609,6 +607,12 @@ object SparkEntry {
     "doc_chunk" -> ((s, d) =>
       Corpus.chunkTokens(T(s, d, "documents"), col("doc_id"), col("text"),
         chunkSize = 30, stride = 20)),
+
+    // TF-IDF keyword extraction: counts are map-side combinable, N joins
+    // in as a broadcast scalar, top-k ranks inside per-doc partitions.
+    "tfidf_topterms" -> ((s, d) =>
+      Corpus.tfidfTopTerms(T(s, d, "documents"), col("doc_id"), col("text"),
+        k = 3)),
 
     // Lloyd-refined IVF: spherical k-means is not DuckDB-expressible →
     // rows-only here; convergence + recall are spec-pinned
@@ -1437,6 +1441,23 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, lang, 'books' AS source FROM u
         |WHERE doc_id % 2 = 0 AND u_books < 0.6""".stripMargin,
+
+    "tfidf_topterms" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |           FROM documents WHERE length(trim(text)) > 0),
+        | tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        | tfc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        | dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+        |         GROUP BY 1),
+        | n AS (SELECT count(*) AS n_docs FROM t),
+        | scored AS (SELECT tfc.doc_id, tfc.term, tfc.tf, dfc.df,
+        |     round(tfc.tf * ln(CAST(n.n_docs AS DOUBLE) / dfc.df), 4)
+        |       AS tfidf
+        |   FROM tfc JOIN dfc USING (term) CROSS JOIN n),
+        | ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |     ORDER BY tfidf DESC, term ASC) AS rank FROM scored)
+        |SELECT doc_id, term, tf, df, tfidf, rank FROM ranked
+        |WHERE rank <= 3""".stripMargin,
 
     "doc_chunk" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks

@@ -319,6 +319,45 @@ object GraftHash {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(h, uniq))
   }
 
+  /** Word n-gram repetition ratio: 1 − distinct_ngrams / total_ngrams,
+    * 0.0 when the document has fewer than n tokens. N-grams are compared
+    * by their positional 64-bit FNV chain (same construction as
+    * [[minHashShingles]]) — equal to string-distinct up to 64-bit
+    * collisions. One codegen'd pass + a sort; no array materialization in
+    * the plan (the `transform(...)`-built n-gram column evaluates its
+    * lambda interpreted and allocates every gram string). */
+  def ngramRepetition(tokens: ArrayData, n: Int): Double = {
+    val num = tokens.numElements()
+    if (num < n) return 0.0
+    val total = num - n + 1
+    val th = new Array[Long](num)
+    var i = 0
+    while (i < num) {
+      th(i) = if (tokens.isNullAt(i)) 0L else fnv1a64(tokens.getUTF8String(i))
+      i += 1
+    }
+    val gh = new Array[Long](total)
+    i = 0
+    while (i < total) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < n) {
+        h = (h ^ th(i + j)) * 0x100000001b3L
+        j += 1
+      }
+      gh(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(gh)
+    var distinct = 1
+    i = 1
+    while (i < total) {
+      if (gh(i) != gh(i - 1)) distinct += 1
+      i += 1
+    }
+    1.0 - distinct.toDouble / total
+  }
+
   /** Exact Jaccard of two SORTED distinct long arrays via linear merge.
     * Matches size(intersect)/size(union) over the original sets up to 64-bit hash
     * collisions (probability ~2^-64 per pair of distinct tokens).

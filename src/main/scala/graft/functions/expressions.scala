@@ -151,6 +151,23 @@ case class TokenSetHash(child: Expression)
   override protected def withNewChildInternal(c: Expression): TokenSetHash = copy(child = c)
 }
 
+/** Word n-gram repetition ratio (1 − distinct/total n-grams) of a token
+  * array — the standard quality-filter signal; one codegen'd pass instead
+  * of an interpreted `transform(...)` lambda materializing gram strings. */
+case class NGramRepetition(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.ngramRepetition(v.asInstanceOf[ArrayData], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftHash.ngramRepetition($c, $n);")
+  override protected def withNewChildInternal(c: Expression): NGramRepetition =
+    copy(child = c)
+}
+
 /** Exact Jaccard of two sorted distinct long arrays (linear merge). */
 case class JaccardSorted(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -296,6 +313,8 @@ object GraftFunctions {
     toCol(HammingDistance64(toExpr(a), toExpr(b)))
   def stopwordHits(tokens: Column, words: Seq[String]): Column =
     toCol(StopwordHits(toExpr(tokens), words))
+  def ngramRepetition(tokens: Column, n: Int): Column =
+    toCol(NGramRepetition(toExpr(tokens), n))
   def hyperplaneSimhash(vec: Column, bits: Int, seed: Long = 42L): Column =
     toCol(HyperplaneSimHash(toExpr(vec), bits, seed))
   def tokenSetHash(tokens: Column): Column = toCol(TokenSetHash(toExpr(tokens)))

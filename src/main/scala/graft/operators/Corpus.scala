@@ -65,6 +65,39 @@ object Corpus {
     }.reduce(_ unionByName _)
   }
 
+  /** Top-k TF-IDF terms per document — the classic corpus-weighting
+    * operator (keyword extraction, near-dup features, retrieval scoring).
+    *
+    * Scale shape: term frequencies and document frequencies are both
+    * map-side-combinable counts keyed by (doc, term) / term; the corpus
+    * size N joins in as a broadcast scalar (computed declaratively — no
+    * driver-side count()); the final top-k ranks inside per-document
+    * window partitions (thousands of small partitions, never a global
+    * sort). Ordering ties are resolved on the ROUNDED score + term so the
+    * selection is reproducible across engines and retries. */
+  def tfidfTopTerms(df: DataFrame, id: Column, text: Column,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(id.as("doc_id"), TextFunctions.tokens(text).as("toks"))
+      .filter(TextFunctions.tokenCount(text) > 0)
+    val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = toks
+      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val total = toks.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf", round(
+        col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rn").cast("long").as("rank"))
+  }
+
   /** Split each document's token stream into fixed-size windows: one row
     * per (doc, chunk) with the chunk text, its token count, and the chunk
     * index. `stride` < `chunkSize` yields overlapping windows (the usual

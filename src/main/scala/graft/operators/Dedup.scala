@@ -317,9 +317,10 @@ object Dedup {
   def connectedComponents(edges: DataFrame, src: String, dst: String,
                           maxIter: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // No distinct over the symmetrized edges: min-aggregation is
+    // duplicate-insensitive, so deduping would buy nothing but a shuffle.
     val sym = edges.select(col(src).as("u"), col(dst).as("v"))
       .union(edges.select(col(dst).as("u"), col(src).as("v")))
-      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("u").as("id"))
       .distinct()
@@ -327,7 +328,10 @@ object Dedup {
       .localCheckpoint(true)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
-    var prevSum = labelSum(labels)
+    // prevSum lazily seeded by round 1's result: labels start at comp=id,
+    // so the first round can never be the fixpoint unless a later sum
+    // repeats — skipping the initial sum saves one job.
+    var prevSum: java.math.BigDecimal = null
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -347,7 +351,7 @@ object Dedup {
         .select(col("id"), col("jcomp").as("comp"))
         .localCheckpoint(true)
       val s = labelSum(next)
-      converged = s.compareTo(prevSum) == 0
+      converged = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s
       labels.unpersist()
       labels = next

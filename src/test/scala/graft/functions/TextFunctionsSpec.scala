@@ -20,6 +20,27 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(r(1) == Seq.empty)
   }
 
+  test("ngramRepetition kernel equals the declarative distinct-gram ratio") {
+    val docs = Seq(
+      "a b a b a b",            // grams: ab ba ab ba ab -> 2/5 distinct
+      "w x y z",                // all distinct -> 0.0
+      "", "   ", "solo",        // <2 tokens -> 0.0
+      "t t t t t t t t"         // one distinct gram of 7 -> 6/7
+    ).toDF("t")
+    val toks = TextFunctions.tokens(col("t"))
+    val grams = TextFunctions.wordNGrams(col("t"), 2)
+    val r = docs.select(
+      GraftFunctions.ngramRepetition(toks, 2).as("kernel"),
+      when(size(grams) === 0, lit(0.0))
+        .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double")
+          / size(grams).cast("double")).as("hof"))
+      .as[(Double, Double)].collect()
+    r.foreach { case (k, h) => assert(math.abs(k - h) < 1e-12, s"$k != $h") }
+    assert(math.abs(r(0)._1 - 0.6) < 1e-12)
+    assert(r(1)._1 == 0.0 && r(2)._1 == 0.0 && r(4)._1 == 0.0)
+    assert(math.abs(r(5)._1 - 6.0 / 7.0) < 1e-12)
+  }
+
   test("jaccard of token sets") {
     val df = Seq(("a b c", "b c d")).toDF("x", "y")
     val j = df.select(TextFunctions.jaccard(

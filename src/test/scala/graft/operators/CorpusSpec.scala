@@ -55,6 +55,18 @@ class CorpusSpec extends SparkSpecBase {
     assert(r(3)._2 == "t25" && r(3)._3 == 1)
   }
 
+  test("tfidfTopTerms ranks rare terms above ubiquitous ones") {
+    val corpus = Seq(
+      (1L, "common common zebra"),
+      (2L, "common yak yak"),
+      (3L, "common emu")).toDF("doc_id", "text")
+    val r = Corpus.tfidfTopTerms(corpus, col("doc_id"), col("text"), k = 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    // 'common' appears in every doc -> idf = ln(1) = 0; the doc-unique
+    // term must win in each document
+    assert(r == Map(1L -> "zebra", 2L -> "yak", 3L -> "emu"))
+  }
+
   test("chunkTokens emits zero chunks for empty/whitespace-only docs") {
     // split("") yields [""]; without the zero-token guard an empty doc
     // would fabricate one empty chunk with chunk_len=1 (ADVICE r2)
