@@ -116,6 +116,34 @@ class ComponentsSpec extends SparkSpecBase {
     }
   }
 
+  test("random graphs match a driver-side union-find (seeded property)") {
+    val rnd = new scala.util.Random(4242L)
+    for (trial <- 1 to 3) {
+      val n = 40 + rnd.nextInt(40)
+      val edges = Seq.fill(n)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(e => e._1 != e._2)
+      // reference: classic union-find with path compression
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // min-id per component, as the operator defines the label
+      val byRoot = nodes.groupBy(find).flatMap { case (_, ms) =>
+        val m = ms.min; ms.map(_ -> m)
+      }
+      val got = Dedup.connectedComponents(
+        edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == byRoot, s"trial $trial (n=$n) mismatch")
+    }
+  }
+
   test("duplicateClusters reports every member with canonical + size") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val r = Dedup.duplicateClusters(pairs)
