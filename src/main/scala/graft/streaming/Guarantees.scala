@@ -44,4 +44,21 @@ object Guarantees {
           throw new ProcessingFailureException(
             s"record processing failed in batch $batchId", e)
       }
+
+  /** Exactly-once file sink: the strict upgrade over the reference's
+    * at-least-once that idempotent sinks buy. Each micro-batch lands in
+    * its own `batch_id=` partition with DYNAMIC partition overwrite, so a
+    * replayed batch (crash between sink write and checkpoint commit — the
+    * reference's duplication window, ConsumerThread.java:184-186)
+    * OVERWRITES its own partition instead of appending duplicates; other
+    * batches' partitions are untouched. Wire as
+    * `foreachBatch(Guarantees.exactlyOnceParquet(path))`. */
+  def exactlyOnceParquet(path: String): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      batch.withColumn("batch_id",
+          org.apache.spark.sql.functions.lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
 }

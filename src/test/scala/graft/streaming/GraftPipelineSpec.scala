@@ -128,6 +128,21 @@ class GraftPipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("exactlyOnceParquet: a replayed batch overwrites, never duplicates") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-e1x").toString + "/t"
+    val sink = Guarantees.exactlyOnceParquet(out)
+    sink(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    sink(Seq((3L, "c")).toDF("id", "v"), 1L)
+    // crash-replay of batch 0: same id, possibly different physical rows
+    sink(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    val rows = spark.read.parquet(out)
+      .select("id", "v", "batch_id").as[(Long, String, Long)]
+      .collect().toSet
+    assert(rows == Set((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 1L)),
+      s"replay duplicated or clobbered: $rows")
+  }
+
   test("forced shutdown that cannot stop the query -> CannotStopThreads") {
     val s = MemoryStream[SubRecord](spark)
     val ckpt = Files.createTempDirectory("graft-ckpt4").toString
