@@ -339,6 +339,28 @@ object SparkEntry {
           shiftleft(col("event_id"), 3).as("shl3"),
           shiftright(col("event_id"), 2).as("shr2"))),
 
+    // Array higher-order functions (transform/filter/aggregate). These
+    // evaluate lambdas interpreted — fine for breadth coverage; hot paths
+    // use the fused codegen kernels instead (see GraftHash).
+    "array_hof" -> ((s, d) =>
+      T(s, d, "embeddings").select(col("vec_id"),
+        round(aggregate(transform(col("embedding"),
+          x => x.cast("double") * x), lit(0.0), (acc, x) => acc + x), 4)
+          .as("sumsq"),
+        size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+        round(aggregate(transform(col("embedding"),
+          x => abs(x.cast("double"))), lit(0.0),
+          (acc, x) => greatest(acc, x)), 5).as("linf"))),
+
+    // Fuzzy/edit-distance string surface (corpus-cleaning toolbox).
+    "scalar_fuzzy" -> ((s, d) =>
+      T(s, d, "part").select(col("p_partkey"),
+        levenshtein(col("p_name"), col("p_type")).as("lev"),
+        translate(col("p_name"), "aeiou", "_____").as("devoweled"),
+        lpad(col("p_brand"), 12, ".").as("padded"),
+        reverse(col("p_type")).as("rev"),
+        repeat(col("p_brand"), 2).as("twice"))),
+
     // MapType surface: JSON→map, map literal, map_concat, entry explode.
     "map_ops" -> ((s, d) =>
       T(s, d, "events").filter(col("event_id") % 13 === 0)
@@ -1101,6 +1123,24 @@ object SparkEntry {
         | event_id << 3 AS shl3,
         | event_id >> 2 AS shr2
         |FROM events WHERE event_id % 11 = 0""".stripMargin,
+
+    "array_hof" ->
+      """SELECT vec_id,
+        | round(list_reduce(list_transform(embedding,
+        |   x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b), 4) AS sumsq,
+        | CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+        | round(list_reduce(list_transform(embedding,
+        |   x -> CAST(abs(x) AS DOUBLE)), (a, b) -> greatest(a, b)), 5) AS linf
+        |FROM embeddings""".stripMargin,
+
+    "scalar_fuzzy" ->
+      """SELECT p_partkey,
+        | CAST(levenshtein(p_name, p_type) AS INT) AS lev,
+        | translate(p_name, 'aeiou', '_____') AS devoweled,
+        | lpad(p_brand, 12, '.') AS padded,
+        | reverse(p_type) AS rev,
+        | repeat(p_brand, 2) AS twice
+        |FROM part""".stripMargin,
 
     "map_ops" ->
       """SELECT event_id, 'k' AS key, json_extract_string(props, '$.k') AS val
