@@ -630,6 +630,12 @@ object SparkEntry {
       Corpus.chunkTokens(T(s, d, "documents"), col("doc_id"), col("text"),
         chunkSize = 30, stride = 20)),
 
+    // Fixed-size deterministic per-stratum sample (digest-ranked
+    // reservoir — reproducible under retries/repartitioning, unlike rand).
+    "group_sample" -> ((s, d) =>
+      Corpus.groupSample(T(s, d, "documents"), col("doc_id"), col("lang"),
+        k = 10, salt = "g").select(col("doc_id"), col("lang"))),
+
     // TF-IDF keyword extraction: counts are map-side combinable, N joins
     // in as a broadcast scalar, top-k ranks inside per-doc partitions.
     "tfidf_topterms" -> ((s, d) =>
@@ -1456,6 +1462,17 @@ object SparkEntry {
         |    string_to_array(substr(md5('s' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
         |    (a, b) -> a * 16 + b) AS DOUBLE) / 4294967296.0 < 0.2""".stripMargin,
+
+    "group_sample" ->
+      """WITH u AS (SELECT doc_id, lang,
+        |   CAST(list_reduce(list_transform(
+        |     string_to_array(substr(md5('g' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |     c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |     (a, b) -> a * 16 + b) AS DOUBLE) / 4294967296.0 AS u
+        |  FROM documents),
+        | r AS (SELECT doc_id, lang, row_number() OVER (
+        |     PARTITION BY lang ORDER BY u ASC, doc_id ASC) AS rn FROM u)
+        |SELECT doc_id, lang FROM r WHERE rn <= 10""".stripMargin,
 
     "stratified_sample" ->
       """SELECT doc_id, lang FROM documents

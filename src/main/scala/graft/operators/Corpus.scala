@@ -52,6 +52,26 @@ object Corpus {
     df.filter(hashUniform(id, salt) < rate)
   }
 
+  /** Deterministic fixed-SIZE sample per stratum (vs the fixed-RATE
+    * [[stratifiedHashSample]]): the k rows with the smallest hash-uniform
+    * per stratum — a "reservoir sample" that is reproducible across runs,
+    * retries, and engines because the reservoir order is the id digest,
+    * not RNG state. The ranking window partitions by stratum (many small
+    * partitions, spillable sort), never globally. */
+  def groupSample(df: DataFrame, id: Column, stratum: Column, k: Int,
+                  salt: String = ""): DataFrame = {
+    require(k > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum"))
+      .orderBy(col("u").asc, col("sample_id").asc)
+    df.withColumn("sample_id", id)
+      .withColumn("stratum", stratum)
+      .withColumn("u", hashUniform(id, salt))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("u", "rn")
+  }
+
   /** Weighted mixture of corpora: each source contributes a deterministic
     * hash-sample at its rate, tagged with its name. The salt is the source
     * name, so one document appearing in several sources draws independent

@@ -55,6 +55,18 @@ class CorpusSpec extends SparkSpecBase {
     assert(r(3)._2 == "t25" && r(3)._3 == 1)
   }
 
+  test("groupSample takes exactly k per stratum, stable under repartition") {
+    val base = Corpus.groupSample(docs, col("doc_id"), col("lang"), k = 3)
+      .select("doc_id", "lang").as[(Long, String)].collect().toSet
+    val sizes = base.groupBy(_._2).map { case (l, s) => l -> s.size }
+    assert(sizes.values.forall(_ == 3), s"per-stratum sizes: $sizes")
+    // identical selection regardless of physical layout
+    val shuffled = Corpus.groupSample(docs.repartition(13), col("doc_id"),
+      col("lang"), k = 3).select("doc_id", "lang")
+      .as[(Long, String)].collect().toSet
+    assert(shuffled == base)
+  }
+
   test("tfidfTopTerms ranks rare terms above ubiquitous ones") {
     val corpus = Seq(
       (1L, "common common zebra"),
