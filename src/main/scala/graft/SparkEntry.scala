@@ -581,6 +581,13 @@ object SparkEntry {
         Dedup.tokenJaccardPairs(T(s, d, "documents"), col("doc_id"),
           col("text"), block = Seq(col("lang")), threshold = 0.9))),
 
+    // Same closure over embedding-cosine edges: vectors that chain through
+    // pairwise similarity collapse to one canonical vec per cluster.
+    "embedding_cluster" -> ((s, d) =>
+      Dedup.duplicateClusters(
+        Dedup.embeddingNearDup(T(s, d, "embeddings"), col("vec_id"),
+          col("embedding"), col("label"), threshold = 0.3))),
+
     // hyperplane-LSH blocking: recall < 1 by construction -> rows-only.
     "dedup_embedding_lsh" -> ((s, d) =>
       Dedup.embeddingLshPairs(T(s, d, "embeddings"), col("vec_id"),
@@ -1455,6 +1462,30 @@ object SparkEntry {
         |       GROUP BY 1, 2)
         |SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos
         |FROM d WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.4""".stripMargin,
+
+    "embedding_cluster" ->
+      """WITH RECURSIVE x AS (SELECT vec_id, label,
+        |   generate_subscripts(embedding, 1) AS i,
+        |   CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        | d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         sum(a.v * b.v) AS dot,
+        |         sum(a.v * a.v) AS na, sum(b.v * b.v) AS nb
+        |       FROM x a JOIN x b ON a.i = b.i AND a.label = b.label
+        |         AND a.vec_id < b.vec_id
+        |       GROUP BY 1, 2),
+        | pairs AS (SELECT id_a, id_b FROM d
+        |           WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.3),
+        | edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |           UNION SELECT id_b, id_a FROM pairs),
+        | reach AS (
+        |   SELECT u AS id, u AS comp FROM edges
+        |   UNION
+        |   SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+        | cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+        | sz AS (SELECT component, count(*) AS cluster_size FROM cc
+        |        GROUP BY component)
+        |SELECT cc.id AS doc_id, cc.component, sz.cluster_size
+        |FROM cc JOIN sz USING (component)""".stripMargin,
 
     "hash_sample" ->
       """SELECT doc_id, lang FROM documents

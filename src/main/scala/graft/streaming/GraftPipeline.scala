@@ -222,4 +222,29 @@ object GraftPipeline {
                     body: (DataFrame, Long) => Unit): GraftPipeline =
     start(df.writeStream.foreachBatch(body), checkpointDir, triggerInterval,
       onShutdown, shutdownTimeoutMs)
+
+  /** Start with the full observability loop wired: a metrics listener
+    * pinned to THIS query's id (no adoption race with other queries on
+    * the session) and the processing-timeout watchdog enforcing O5 — the
+    * assembled form of the reference's consumer + metrics + timeout
+    * machinery. Caller owns the teardown: `watchdog.stop()` and
+    * `spark.streams.removeListener(listener)` after shutdown. */
+  def startWatched(writer: DataStreamWriter[Row], checkpointDir: String,
+                   spark: org.apache.spark.sql.SparkSession,
+                   triggerInterval: String = "1 second",
+                   onShutdown: Option[Throwable] => Unit = _ => (),
+                   shutdownTimeoutMs: Long = 10000L,
+                   processingTimeoutMs: Long = 300000L)
+  : (GraftPipeline, WorkersMetricsListener, PipelineWatchdog) = {
+    val listener = new WorkersMetricsListener(processingTimeoutMs)
+    spark.streams.addListener(listener)
+    val p = try start(writer, checkpointDir, triggerInterval, onShutdown,
+      shutdownTimeoutMs)
+    catch { case e: Throwable =>
+      spark.streams.removeListener(listener); throw e
+    }
+    listener.watch(p.underlying.id)
+    val dog = new PipelineWatchdog(p, listener).start()
+    (p, listener, dog)
+  }
 }

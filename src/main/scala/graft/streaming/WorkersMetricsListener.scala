@@ -31,6 +31,11 @@ class WorkersMetricsListener(val processingTimeoutMs: Long = 300000L,
     * from the first query that starts after registration. */
   @volatile private var _watchId: Option[java.util.UUID] = watchId
 
+  /** Pin the watched query explicitly (overrides any adopted id) — used
+    * by GraftPipeline.startWatched, which only learns the id after
+    * start() returns. */
+  def watch(id: java.util.UUID): Unit = { _watchId = Some(id) }
+
   private def watches(id: java.util.UUID): Boolean =
     _watchId.contains(id)
 

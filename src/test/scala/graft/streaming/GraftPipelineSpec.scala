@@ -128,6 +128,29 @@ class GraftPipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("startWatched wires listener + watchdog to its own query") {
+    import org.apache.spark.sql.DataFrame
+    val s = MemoryStream[SubRecord](spark)
+    val ckpt = Files.createTempDirectory("graft-ckpt5").toString
+    val (p, listener, dog) = GraftPipeline.startWatched(
+      s.toDF().writeStream.foreachBatch((b: DataFrame, _: Long) =>
+        { b.count(); () }),
+      ckpt, spark, "100 milliseconds", processingTimeoutMs = 60000L)
+    try {
+      s.addData(SubRecord("k", new Timestamp(1000L), "a", "v"))
+      p.underlying.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.metrics.isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(!listener.metrics.isEmpty, "listener saw no progress")
+      assert(!listener.stalled())
+      assert(p.shutdown() == GraftPipeline.ClosedGracefully)
+    } finally {
+      dog.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("exactlyOnceParquet: a replayed batch overwrites, never duplicates") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-e1x").toString + "/t"
