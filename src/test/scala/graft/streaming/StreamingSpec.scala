@@ -152,6 +152,32 @@ class PunctuatorSpec extends SparkSpecBase {
       assert(keys.contains("k1"), s"expected punctuation for k1, got $keys")
     } finally q.stop()
   }
+
+  test("punctuation keeps cadence: repeated ticks without input (PunctuateTest)") {
+    // the reference's PunctuateTest pins N punctuations inside a window
+    // with NO further input; mirror the observable: >= 3 ticks for the
+    // key, strictly increasing timestamps, spaced >= half the interval
+    // (scheduling jitter tolerated, cadence not)
+    val s = MemoryStream[SubRecord](spark)
+    val out = Punctuator.punctuate(s.toDS(), intervalMs = 300)
+    val q = out.writeStream.format("memory").queryName("punct_cadence")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      s.addData(SubRecord("k1", new Timestamp(1000L), "a", "v"))
+      val deadline = System.currentTimeMillis() + 60000
+      def ticks() = spark.table("punct_cadence").as[Punctuation]
+        .collect().filter(_.subKey == "k1").map(_.punctuateTimeMs).sorted
+      while (ticks().length < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val ts = ticks()
+      assert(ts.length >= 3, s"only ${ts.length} punctuations in 60s")
+      ts.sliding(2).foreach { case Array(a, b) =>
+        assert(b > a && b - a >= 150,
+          s"cadence broken: ticks at ${ts.mkString(",")}")
+      }
+    } finally q.stop()
+  }
 }
 
 class ListenerSpec extends SparkSpecBase {
