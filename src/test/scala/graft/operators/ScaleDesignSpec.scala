@@ -115,6 +115,41 @@ class KMeansIvfSpec extends SparkSpecBase {
   }
 }
 
+class NewOperatorPlanSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("embedding_centroid aggregates partially before its exchange") {
+    val vecs = (0 until 100).map(i =>
+      (i.toLong, Array.fill(8)((i % 7).toFloat), i % 3)).toDF(
+      "vec_id", "embedding", "label")
+    val plan = vecs
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("v")), 5).as("c"))
+      .queryExecution.executedPlan.toString
+    // two-phase agg: the map-side combine bounds the shuffle to
+    // labels x dims rows regardless of corpus size
+    assert(plan.contains("partial"), s"no map-side partial agg:\n$plan")
+  }
+
+  test("tfidfTopTerms broadcasts the corpus-size scalar") {
+    val corpus = (0 until 50).map(i =>
+      (i.toLong, s"w$i common t${i % 5}")).toDF("doc_id", "text")
+    val plan = Corpus.tfidfTopTerms(corpus, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"),
+      s"corpus-size scalar should broadcast, not shuffle:\n$plan")
+    // the top-k window partitions by doc_id (no single-partition window),
+    // and the row_number limit pushes down as a PARTIAL WindowGroupLimit
+    // below the exchange, so each map task ships at most k rows per doc
+    val globalWindow = plan.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("SinglePartition"))
+    assert(!globalWindow, s"global window in tfidf:\n$plan")
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"top-k not pushed below the exchange:\n$plan")
+  }
+}
+
 class BucketedJoinSpec extends SparkSpecBase {
   import spark.implicits._
 
