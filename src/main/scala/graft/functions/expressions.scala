@@ -344,5 +344,11 @@ object GraftFunctions {
       es => SimHashMd5(asStrs(es.head)))
     GraftShims.registerFunction(spark, "graft_zorder",
       es => ZOrder62(Cast(es(0), IntegerType), Cast(es(1), IntegerType)))
+    GraftShims.registerFunction(spark, "graft_ngram_rep",
+      es => NGramRepetition(asStrs(es(0)), es(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_ngram_rep(tokens, n): n must be an integer literal, got $other")
+      }))
   }
 }

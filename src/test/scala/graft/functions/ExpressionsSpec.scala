@@ -51,6 +51,10 @@ class ExpressionsSpec extends SparkSpecBase {
       new org.apache.spark.sql.catalyst.util.GenericArrayData(
         Array[Any](org.apache.spark.unsafe.types.UTF8String
           .fromString("hello")))))
+    val rep = spark.sql(
+      "SELECT round(graft_ngram_rep(array('a','b','a','b','a','b'), 2), 4) r")
+      .as[Double].head()
+    assert(rep == 0.6, s"graft_ngram_rep gave $rep") // 2 distinct of 5 grams
   }
 
   test("minhash column: equal inputs → equal signatures") {
