@@ -287,6 +287,16 @@ object SparkEntry {
           posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
         .filter(col("pos") < 8)),
 
+    // Daily LOCF resample: every user gets a complete day grid between
+    // their first and last event, empty days forward-filled.
+    "resample_locf" -> ((s, d) =>
+      Resample.locf(T(s, d, "events"), col("user_id"), col("ts"),
+        col("value"), col("event_id"), unit = "DAY",
+        step = "interval 1 day")
+        .select(col("k").as("user_id"),
+          date_format(col("bucket"), "yyyy-MM-dd").as("day_s"),
+          col("filled_v"), col("observed"))),
+
     "window_ntile" -> ((s, d) => {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
@@ -1084,6 +1094,25 @@ object SparkEntry {
         | e AS (SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS INT)
         |         AS pos, unnest(toks) AS tok FROM t)
         |SELECT doc_id, pos, tok FROM e WHERE pos < 8""".stripMargin,
+
+    "resample_locf" ->
+      """WITH obs AS (
+        |  SELECT user_id, day, value AS v FROM (
+        |    SELECT user_id, date_trunc('day', ts) AS day, value,
+        |      row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        | span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |          FROM obs GROUP BY 1),
+        | grid AS (SELECT user_id,
+        |   unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM span),
+        | j AS (SELECT g.user_id, g.day, o.v FROM grid g
+        |       LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day_s,
+        | last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_v,
+        | v IS NOT NULL AS observed
+        |FROM j""".stripMargin,
 
     "window_ntile" ->
       """SELECT o_orderkey, o_orderpriority,

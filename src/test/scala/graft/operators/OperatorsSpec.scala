@@ -87,6 +87,32 @@ class DedupSpec extends SparkSpecBase {
   }
 }
 
+class ResampleSpec extends SparkSpecBase {
+  import spark.implicits._
+  import java.sql.Timestamp
+
+  test("locf fills day gaps with the last in-bucket winner") {
+    val day = 86400000L
+    val t0 = 1700006400000L // day-aligned-ish; truncation handles the rest
+    val ev = Seq(
+      (1L, new Timestamp(t0), 10.0, 100L),
+      (1L, new Timestamp(t0 + 3600000L), 11.0, 101L), // same day, later ts wins
+      (1L, new Timestamp(t0 + 2 * day), 30.0, 102L),  // day 3: gap on day 2
+      (2L, new Timestamp(t0), 7.0, 103L))
+      .toDF("user_id", "ts", "value", "event_id")
+    val r = Resample.locf(ev, col("user_id"), col("ts"), col("value"),
+        col("event_id"), "DAY", "interval 1 day")
+      .orderBy("k", "bucket")
+      .select("k", "filled_v", "observed")
+      .as[(Long, Double, Boolean)].collect().toSeq
+    assert(r == Seq(
+      (1L, 11.0, true),   // day 1: later event (11.0) wins the bucket
+      (1L, 11.0, false),  // day 2: forward-filled
+      (1L, 30.0, true),   // day 3: observed
+      (2L, 7.0, true)))   // single-day user: one-row grid
+  }
+}
+
 class ComponentsSpec extends SparkSpecBase {
   import spark.implicits._
 
