@@ -822,6 +822,17 @@ object SparkEntry {
               |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin)
     }),
 
+    // FILTER-clause conditional aggregation (one pass, no self-joins).
+    "agg_filter" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT l_returnflag,
+              | count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+              | count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+              | round(sum(l_extendedprice) FILTER (WHERE l_tax = 0), 2)
+              |   AS notax_px
+              |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    }),
+
     // Recursive CTE (Spark 4 WITH RECURSIVE): generate the month spine
     // between the first and last order date, then gap-fill order counts —
     // months with no orders appear with cnt=0. Bounds are carried through
@@ -1827,6 +1838,14 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+
+    "agg_filter" ->
+      """SELECT l_returnflag,
+        | count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        | count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+        | round(sum(l_extendedprice) FILTER (WHERE l_tax = 0), 2)
+        |   AS notax_px
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "sql_recursive" ->
       """WITH RECURSIVE months(m, hi) AS (
