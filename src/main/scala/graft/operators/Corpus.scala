@@ -61,15 +61,17 @@ object Corpus {
   def groupSample(df: DataFrame, id: Column, stratum: Column, k: Int,
                   salt: String = ""): DataFrame = {
     require(k > 0)
+    // pure filter contract: the result keeps exactly df's columns; the
+    // ranking scaffolding uses prefixed names so it can't collide
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("stratum"))
-      .orderBy(col("u").asc, col("sample_id").asc)
-    df.withColumn("sample_id", id)
-      .withColumn("stratum", stratum)
-      .withColumn("u", hashUniform(id, salt))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .drop("u", "rn")
+      .partitionBy(col("__gs_s"))
+      .orderBy(col("__gs_u").asc, col("__gs_id").asc)
+    df.withColumn("__gs_id", id)
+      .withColumn("__gs_s", stratum)
+      .withColumn("__gs_u", hashUniform(id, salt))
+      .withColumn("__gs_rn", row_number().over(w))
+      .filter(col("__gs_rn") <= k)
+      .drop("__gs_id", "__gs_s", "__gs_u", "__gs_rn")
   }
 
   /** Weighted mixture of corpora: each source contributes a deterministic
