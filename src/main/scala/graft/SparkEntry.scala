@@ -598,6 +598,28 @@ object SparkEntry {
         Dedup.embeddingNearDup(T(s, d, "embeddings"), col("vec_id"),
           col("embedding"), col("label"), threshold = 0.3))),
 
+    // Int8-quantized approximate scoring vs exact cosine: the tolerance
+    // pattern (like approx_distinct) — the oracle pins every pair's
+    // |approx − exact| within the quantization error bound as a bool.
+    "similarity_int8" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val q = Similarity.quantizeInt8(emb.filter(col("vec_id") < 4),
+          col("vec_id"), col("embedding"))
+        .join(emb.select(col("vec_id"), col("embedding").as("qv")), "vec_id")
+        .select(col("vec_id").as("query_id"), col("codes").as("qc"),
+          col("scale").as("qs"), col("qv"))
+      val c = Similarity.quantizeInt8(emb, col("vec_id"), col("embedding"))
+        .join(emb.select(col("vec_id"), col("embedding").as("cv")), "vec_id")
+        .select(col("vec_id").as("cand_id"), col("codes").as("cc"),
+          col("scale").as("cs"), col("cv"))
+      c.crossJoin(broadcast(q))
+        .select(col("query_id"), col("cand_id"),
+          (abs(Similarity.int8ApproxDot(col("qc"), col("qs"), col("cc"),
+            col("cs")) -
+            graft.functions.GraftFunctions.cosineSimilarity(col("qv"),
+              col("cv"))) <= 0.03).as("ok"))
+    }),
+
     // hyperplane-LSH blocking: recall < 1 by construction -> rows-only.
     "dedup_embedding_lsh" -> ((s, d) =>
       Dedup.embeddingLshPairs(T(s, d, "embeddings"), col("vec_id"),
@@ -1502,6 +1524,13 @@ object SparkEntry {
         |       GROUP BY 1, 2)
         |SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos
         |FROM d WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.4""".stripMargin,
+
+    // Quantization is engine-side; the oracle pins the row set and that
+    // every approximation landed inside the error bound (constant TRUE).
+    "similarity_int8" ->
+      """SELECT q.vec_id AS query_id, c.vec_id AS cand_id, TRUE AS ok
+        |FROM embeddings c CROSS JOIN
+        |  (SELECT vec_id FROM embeddings WHERE vec_id < 4) q""".stripMargin,
 
     "embedding_cluster" ->
       """WITH RECURSIVE x AS (SELECT vec_id, label,

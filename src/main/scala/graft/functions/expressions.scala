@@ -151,6 +151,46 @@ case class TokenSetHash(child: Expression)
   override protected def withNewChildInternal(c: Expression): TokenSetHash = copy(child = c)
 }
 
+/** Per-vector max-abs scale for int8 scalar quantization. */
+case class Int8Scale(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.int8Scale(v.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftHash.int8Scale($c);")
+  override protected def withNewChildInternal(c: Expression): Int8Scale =
+    copy(child = c)
+}
+
+/** Int8 scalar-quantization codes of a float vector (1 byte/dim). */
+case class Int8Codes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.int8Codes(v.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftHash.int8Codes($c);")
+  override protected def withNewChildInternal(c: Expression): Int8Codes =
+    copy(child = c)
+}
+
+/** Exact integer dot of two int8 code arrays. */
+case class Int8Dot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftHash.int8Dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.GraftHash.int8Dot($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Int8Dot =
+    copy(left = l, right = r)
+}
+
 /** Word n-gram repetition ratio (1 − distinct/total n-grams) of a token
   * array — the standard quality-filter signal; one codegen'd pass instead
   * of an interpreted `transform(...)` lambda materializing gram strings. */
@@ -315,6 +355,10 @@ object GraftFunctions {
     toCol(StopwordHits(toExpr(tokens), words))
   def ngramRepetition(tokens: Column, n: Int): Column =
     toCol(NGramRepetition(toExpr(tokens), n))
+  def int8Scale(vec: Column): Column = toCol(Int8Scale(toExpr(vec)))
+  def int8Codes(vec: Column): Column = toCol(Int8Codes(toExpr(vec)))
+  def int8Dot(a: Column, b: Column): Column =
+    toCol(Int8Dot(toExpr(a), toExpr(b)))
   def hyperplaneSimhash(vec: Column, bits: Int, seed: Long = 42L): Column =
     toCol(HyperplaneSimHash(toExpr(vec), bits, seed))
   def tokenSetHash(tokens: Column): Column = toCol(TokenSetHash(toExpr(tokens)))

@@ -57,6 +57,22 @@ object Similarity {
 
   /** Deterministic stride sample of the corpus as initial centroids
     * (IVF-Flat with random centroids; see class doc). */
+  /** Int8 scalar quantization of a vector column: (id, codes, scale).
+    * 1 byte/dim instead of 4 — at 100 TB the difference between an ANN
+    * corpus that fits executor memory and one that spills; the exact
+    * integer dot is rescaled by `scaleA*scaleB/127²` to approximate the
+    * float dot, with per-dim error bounded by scale/254. */
+  def quantizeInt8(vecs: DataFrame, id: Column, vec: Column): DataFrame =
+    vecs.select(id.as("vec_id"),
+      GraftFunctions.int8Codes(vec).as("codes"),
+      GraftFunctions.int8Scale(vec).as("scale"))
+
+  /** Approximate dot of two quantized vectors (columns from
+    * [[quantizeInt8]]). */
+  def int8ApproxDot(codesA: Column, scaleA: Column,
+                    codesB: Column, scaleB: Column): Column =
+    GraftFunctions.int8Dot(codesA, codesB) * scaleA * scaleB / lit(16129.0)
+
   def strideCentroids(corpus: DataFrame, centroidStride: Int): DataFrame =
     corpus.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))

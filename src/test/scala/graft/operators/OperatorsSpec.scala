@@ -304,6 +304,37 @@ class SimilaritySpec extends SparkSpecBase {
     (3L, Array(-1f, 0f)), (4L, Array(0.5f, 0.5f))
   ).toDF("vec_id", "embedding")
 
+  test("int8 quantization: approx dot within the error bound, exact on axes") {
+    // seeded random unit vectors, 64-dim like the embeddings table
+    val rnd = new scala.util.Random(7L)
+    val vecs = (0L until 30L).map { i =>
+      val raw = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(raw.map(x => x * x.toDouble).sum).toFloat
+      (i, raw.map(_ / n))
+    }.toDF("vec_id", "embedding")
+    val qz = Similarity.quantizeInt8(vecs, col("vec_id"), col("embedding"))
+    val a = qz.select(col("vec_id").as("ia"), col("codes").as("ca"),
+      col("scale").as("sa"))
+    val b = qz.select(col("vec_id").as("ib"), col("codes").as("cb"),
+      col("scale").as("sb"))
+    val va = vecs.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val vb = vecs.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val err = a.join(b, col("ia") < col("ib"))
+      .join(va, "ia").join(vb, "ib")
+      .select(abs(Similarity.int8ApproxDot(col("ca"), col("sa"), col("cb"),
+        col("sb")) -
+        graft.functions.GraftFunctions.cosineSimilarity(col("ea"), col("eb")))
+        .as("e"))
+      .agg(max(col("e"))).as[Double].head()
+    assert(err <= 0.03, s"quantization error $err exceeds bound")
+    // exact on axis vectors (codes ±127/0, scale 1)
+    val ax = Seq((0L, Array(1f, 0f)), (1L, Array(0f, -1f)))
+      .toDF("vec_id", "embedding")
+    val axq = Similarity.quantizeInt8(ax, col("vec_id"), col("embedding"))
+      .select("codes", "scale").as[(Seq[Byte], Double)].collect()
+    assert(axq(0)._1 == Seq[Byte](127, 0) && axq(0)._2 == 1.0)
+  }
+
   test("bruteForceTopK ranks by cosine desc") {
     val r = Similarity.bruteForceTopK(
         corpus.filter(col("vec_id") === 0L), corpus, k = 2)
