@@ -635,6 +635,14 @@ object SparkEntry {
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 8), e, k = 5)
     }),
 
+    // Two-stage: int8 shortlist scan (1 byte/dim) -> exact re-rank of the
+    // shortlist; equals exact brute force, same oracle shape.
+    "similarity_int8_rerank" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      Similarity.int8RerankTopK(e.filter(col("vec_id") < 8), e, k = 5,
+        shortlist = 25)
+    }),
+
     "similarity_ivf" -> ((s, d) => {
       val e = T(s, d, "embeddings")
       val idx = Similarity.ivfIndex(e, centroidStride = 25)
@@ -1629,6 +1637,26 @@ object SparkEntry {
         |FROM c""".stripMargin,
 
     "similarity_topk" ->
+      """WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |                  CAST(unnest(embedding) AS DOUBLE) AS v
+        |           FROM embeddings),
+        | d AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         sum(q.v * c.v) AS dot,
+        |         sum(q.v * q.v) AS nq, sum(c.v * c.v) AS nc
+        |       FROM x q JOIN x c ON q.i = c.i
+        |       WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+        |       GROUP BY 1, 2),
+        | scored AS (SELECT query_id, cand_id,
+        |    round(dot / (sqrt(nq) * sqrt(nc)), 4) AS cos FROM d)
+        |SELECT query_id, cand_id, cos, CAST(rank AS INT) AS rank FROM (
+        |  SELECT query_id, cand_id, cos, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+
+    // Two-stage rerank returns exactly the brute-force top-k (shortlist
+    // margin >> quantization error), so the oracle is the same exact SQL.
+    "similarity_int8_rerank" ->
       """WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
         |                  CAST(unnest(embedding) AS DOUBLE) AS v
         |           FROM embeddings),

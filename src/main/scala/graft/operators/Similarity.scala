@@ -73,6 +73,38 @@ object Similarity {
                     codesB: Column, scaleB: Column): Column =
     GraftFunctions.int8Dot(codesA, codesB) * scaleA * scaleB / lit(16129.0)
 
+  /** Two-stage retrieval: int8-approximate shortlist (integer dot over
+    * 1-byte codes, bounded-state partial-agg top-`shortlist`), then exact
+    * cosine re-rank of the shortlist alone. The scan that touches every
+    * corpus vector reads quarter-width codes; the full-precision vectors
+    * are only fetched for `shortlist` candidates per query. With a
+    * shortlist margin comfortably above the quantization error bound the
+    * result equals exact brute force. */
+  def int8RerankTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     shortlist: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val q = quantizeInt8(queries, col("vec_id"), col("embedding"))
+      .select(col("vec_id").as("query_id"), col("codes").as("qc"),
+        col("scale").as("qs"))
+    val c = quantizeInt8(corpus, col("vec_id"), col("embedding"))
+      .select(col("vec_id").as("cand_id"), col("codes").as("cc"),
+        col("scale").as("cs"))
+    val approx = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        int8ApproxDot(col("qc"), col("qs"), col("cc"), col("cs")).as("cos"))
+    val short = rankTopK(approx, shortlist).select("query_id", "cand_id")
+    val qv = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_vec"))
+    val cv = corpus.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_vec"))
+    val exact = short.join(broadcast(qv), "query_id").join(cv, "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        round(GraftFunctions.cosineSimilarity(col("q_vec"), col("c_vec")), 4)
+          .as("cos"))
+    rankTopK(exact, k)
+  }
+
   def strideCentroids(corpus: DataFrame, centroidStride: Int): DataFrame =
     corpus.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))

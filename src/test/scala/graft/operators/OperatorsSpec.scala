@@ -327,6 +327,16 @@ class SimilaritySpec extends SparkSpecBase {
         .as("e"))
       .agg(max(col("e"))).as[Double].head()
     assert(err <= 0.03, s"quantization error $err exceeds bound")
+    // two-stage rerank equals exact brute force given shortlist margin
+    val brute = Similarity.bruteForceTopK(
+        vecs.filter(col("vec_id") < 3), vecs, k = 4)
+      .select("query_id", "cand_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val rerank = Similarity.int8RerankTopK(
+        vecs.filter(col("vec_id") < 3), vecs, k = 4, shortlist = 12)
+      .select("query_id", "cand_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(rerank == brute, s"rerank diverged: ${rerank.diff(brute)}")
     // exact on axis vectors (codes ±127/0, scale 1)
     val ax = Seq((0L, Array(1f, 0f)), (1L, Array(0f, -1f)))
       .toDF("vec_id", "embedding")
