@@ -326,6 +326,9 @@ object Dedup {
       .distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
+    // no edges -> no nodes: already the fixpoint (and labelSum of an
+    // empty frame is null, which the convergence compare must never see)
+    if (labels.isEmpty) { sym.unpersist(); return labels }
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
     // prevSum lazily seeded by round 1's result: labels start at comp=id,

@@ -170,6 +170,14 @@ class ComponentsSpec extends SparkSpecBase {
     }
   }
 
+  test("empty edge set returns an empty frame, not a convergence error") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty, "id_a", "id_b").isEmpty)
+    val r = Dedup.duplicateClusters(empty)
+    assert(r.isEmpty &&
+      r.columns.toSeq == Seq("doc_id", "component", "cluster_size"))
+  }
+
   test("duplicateClusters reports every member with canonical + size") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val r = Dedup.duplicateClusters(pairs)
