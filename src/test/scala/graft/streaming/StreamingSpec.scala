@@ -51,6 +51,42 @@ class StreamingMergeSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("three-way merge: the laggiest of n streams gates all emission") {
+    // the reference merges exactly two topics; the watermark formulation
+    // generalizes to n inputs for free (query watermark = min over all
+    // watermark nodes) — prove it with three
+    val s1 = MemoryStream[SubRecord](spark)
+    val s2 = MemoryStream[SubRecord](spark)
+    val s3 = MemoryStream[SubRecord](spark)
+    val merged = StreamingMerge.orderedEmit(
+      StreamingMerge.gatedUnion("0 seconds", s1.toDS(), s2.toDS(), s3.toDS()))
+    val q = merged.writeStream.format("memory").queryName("merge3_out")
+      .outputMode("append").start()
+    try {
+      s1.addData(rec(100000L, "a"), rec(400000L, "a"))
+      s2.addData(rec(150000L, "b"), rec(450000L, "b"))
+      s3.addData(rec(20000L, "c"))   // laggiest input
+      q.processAllAvailable()
+      s1.addData(rec(400001L, "a")); s2.addData(rec(450001L, "b"))
+      s3.addData(rec(20001L, "c"))
+      q.processAllAvailable()
+      val got = spark.table("merge3_out").as[SubRecord]
+        .collect().map(_.ts.getTime).toSeq
+      assert(got.forall(_ <= 20001L), s"gate leaked past stream 3: $got")
+      assert(got == got.sorted, s"emission out of order: $got")
+      // release: stream 3 catches up past everything -> full ordered merge
+      s3.addData(rec(500000L, "c"))
+      q.processAllAvailable()
+      s1.addData(rec(500001L, "a")); s2.addData(rec(500001L, "b"))
+      s3.addData(rec(500001L, "c"))
+      q.processAllAvailable()
+      val all = spark.table("merge3_out").as[SubRecord]
+        .collect().map(_.ts.getTime).toSeq
+      assert(all.take(6) == Seq(20000L, 20001L, 100000L, 150000L,
+        400000L, 400001L), s"merged prefix wrong: $all")
+    } finally q.stop()
+  }
+
   test("lagging stream holds the gate (per-input watermarks)") {
     val s1 = MemoryStream[SubRecord](spark)
     val s2 = MemoryStream[SubRecord](spark)
