@@ -271,6 +271,20 @@ object SparkEntry {
         .select(col("custkey"), col("n_orders"), col("spend"), col("c_name"))
     }),
 
+    // Explicit null ordering under LIMIT: Spark defaults to NULLS FIRST
+    // on ASC, DuckDB to NULLS LAST — only an explicit spec is portable,
+    // and only a limit makes the driver's sorted-hash compare see it.
+    "sort_nulls" -> ((s, d) => {
+      val o = T(s, d, "orders").filter(col("o_custkey") % 3 === 0)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      T(s, d, "customer").filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey").as("custkey"))
+        .join(o, Seq("custkey"), "left")
+        .orderBy(col("n_orders").asc_nulls_first, col("custkey").asc)
+        .limit(12)
+    }),
+
     // Deliberate cross of two tiny dimensions (5 x 25 rows): plans as a
     // broadcast nested-loop, NOT a CartesianProduct shuffle — the only
     // shape a cross join is ever acceptable in at scale.
@@ -1128,6 +1142,16 @@ object SparkEntry {
     "join_cross" ->
       """SELECT r_name, n_name, r_regionkey = n_regionkey AS home
         |FROM region CROSS JOIN nation""".stripMargin,
+
+    "sort_nulls" ->
+      """WITH o AS (SELECT o_custkey AS custkey, count(*) AS n_orders
+        |           FROM orders WHERE o_custkey % 3 = 0 GROUP BY 1)
+        |SELECT c.custkey AS custkey, o.n_orders
+        |FROM (SELECT c_custkey AS custkey FROM customer
+        |      WHERE c_custkey % 5 = 0) c
+        |LEFT JOIN o ON c.custkey = o.custkey
+        |ORDER BY n_orders ASC NULLS FIRST, c.custkey ASC
+        |LIMIT 12""".stripMargin,
 
     "explode_pos" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
