@@ -311,6 +311,26 @@ object SparkEntry {
           date_format(col("bucket"), "yyyy-MM-dd").as("day_s"),
           col("filled_v"), col("observed"))),
 
+    // Batch sessionization by gap detection (lag -> island numbering via
+    // running sum): the batch twin of the streaming session_window query.
+    "sessionize_batch" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, d, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_sess",
+          (col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800000000L)
+            .cast("long"))
+        .withColumn("sess_id", sum(col("new_sess")).over(ws))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"),
+          tss(min(col("ts"))).as("start_s"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            .as("dur_us"))
+    }),
+
     "window_ntile" -> ((s, d) => {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
@@ -1178,6 +1198,24 @@ object SparkEntry {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_v,
         | v IS NOT NULL AS observed
         |FROM j""".stripMargin,
+
+    "sessionize_batch" ->
+      """WITH l AS (SELECT user_id, ts, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS prev_us,
+        |    event_id
+        |  FROM events),
+        | f AS (SELECT *, CASE WHEN prev_us IS NULL
+        |     OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |   FROM l),
+        | s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |     ORDER BY ts ASC, event_id ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |     AS sess_id FROM f)
+        |SELECT user_id, sess_id, count(*) AS n_events,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_s,
+        | max(us) - min(us) AS dur_us
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     "window_ntile" ->
       """SELECT o_orderkey, o_orderpriority,
