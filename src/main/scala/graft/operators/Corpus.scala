@@ -56,22 +56,41 @@ object Corpus {
     * [[stratifiedHashSample]]): the k rows with the smallest hash-uniform
     * per stratum — a "reservoir sample" that is reproducible across runs,
     * retries, and engines because the reservoir order is the id digest,
-    * not RNG state. The ranking window partitions by stratum (many small
-    * partitions, spillable sort), never globally. */
+    * not RNG state.
+    *
+    * Skew-safe two-phase top-k: strata are real-world skewed (an "en"
+    * stratum can be 80% of a corpus), so a single
+    * `row_number() over (partition by stratum)` would funnel the hot
+    * stratum through one task. Phase 1 ranks within (stratum, salt) —
+    * `preSalts`× more, `preSalts`× smaller partitions — and keeps each
+    * salt-group's k smallest. Phase 2 ranks the ≤ preSalts·k survivors per
+    * stratum, which is a design-bounded constant regardless of corpus
+    * size. Lossless: the global per-stratum top-k by (uniform, id) is a
+    * subset of the union of per-salt-group top-k's (any globally-kept row
+    * is also among the k smallest of its own salt group), so phase 2 sees
+    * every winner and selects exactly the single-phase result. */
   def groupSample(df: DataFrame, id: Column, stratum: Column, k: Int,
-                  salt: String = ""): DataFrame = {
-    require(k > 0)
+                  salt: String = "", preSalts: Int = 64): DataFrame = {
+    require(k > 0 && preSalts > 0)
     // pure filter contract: the result keeps exactly df's columns; the
     // ranking scaffolding uses prefixed names so it can't collide
+    val wPre = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__gs_s"), col("__gs_salt"))
+      .orderBy(col("__gs_u").asc, col("__gs_id").asc)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__gs_s"))
       .orderBy(col("__gs_u").asc, col("__gs_id").asc)
     df.withColumn("__gs_id", id)
       .withColumn("__gs_s", stratum)
       .withColumn("__gs_u", hashUniform(id, salt))
+      // deterministic spread key (murmur3 of the id, not rand(): stable
+      // under retries/repartitioning like the sample itself)
+      .withColumn("__gs_salt", pmod(hash(col("__gs_id")), lit(preSalts)))
+      .withColumn("__gs_prn", row_number().over(wPre))
+      .filter(col("__gs_prn") <= k)
       .withColumn("__gs_rn", row_number().over(w))
       .filter(col("__gs_rn") <= k)
-      .drop("__gs_id", "__gs_s", "__gs_u", "__gs_rn")
+      .drop("__gs_id", "__gs_s", "__gs_u", "__gs_salt", "__gs_prn", "__gs_rn")
   }
 
   /** Weighted mixture of corpora: each source contributes a deterministic

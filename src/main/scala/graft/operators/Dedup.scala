@@ -23,17 +23,29 @@ import graft.functions.{GraftFunctions, TextFunctions}
 object Dedup {
 
   /** Exact dedup: keep the smallest id per identical digest.
-    * Returns (docId → canonicalId) only for rows in a duplicate group. */
-  def exactDuplicates(docs: DataFrame, id: Column, text: Column): DataFrame =
-    docs.select(id.as("doc_id"), md5(text).as("digest"))
+    * Returns (docId → canonicalId) only for rows in a duplicate group.
+    *
+    * Aggregation state is BOUNDED: the per-digest reduction is
+    * `min`/`count` only — both map-side combinable, O(1) state per group —
+    * and members are recovered by joining the digest frame back against
+    * the (rare) duplicate groups. A collect_list formulation would build
+    * the whole member array of a group inside one aggregation buffer, and
+    * at 100 TB degenerate digests (empty strings, boilerplate pages) have
+    * millions of members — an executor-OOM shape no matter how the groups
+    * shuffle. The join-back costs a second scan of (id, digest) — 40-byte
+    * rows with the text column pruned — and both join sides hash-partition
+    * by digest, so AQE handles a skewed digest like any skewed join key. */
+  def exactDuplicates(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val keyed = docs.select(id.as("doc_id"), md5(text).as("digest"))
+    val groups = keyed
       .groupBy(col("digest"))
       .agg(min(col("doc_id")).as("canonical_id"),
-        count(lit(1)).as("group_size"),
-        sort_array(collect_list(col("doc_id"))).as("members"))
+        count(lit(1)).as("group_size"))
       .filter(col("group_size") > 1)
-      .select(explode(col("members")).as("doc_id"),
-        col("canonical_id"), col("group_size"))
+    keyed.join(groups, Seq("digest"))
       .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id"), col("canonical_id"), col("group_size"))
+  }
 
   /** MinHash+LSH candidate pairs with exact-Jaccard verification.
     *
@@ -118,8 +130,8 @@ object Dedup {
     * window's hash partitioning, so the whole thing costs one shuffle of
     * ~20-byte rows. Keeping the *smallest* ids is deterministic under
     * retries and arrival order. */
-  private def bucketPairs(banded: DataFrame, idCol: String,
-                          bucketCap: Int): DataFrame = {
+  private[graft] def bucketPairs(banded: DataFrame, idCol: String,
+                                 bucketCap: Int): DataFrame = {
     require(bucketCap > 1, "bucketCap must allow at least one pair")
     val wB = Window.partitionBy(col("band"), col("bucket"))
       .orderBy(col(idCol).asc)

@@ -115,6 +115,85 @@ class KMeansIvfSpec extends SparkSpecBase {
   }
 }
 
+class DedupScaleSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("exactDuplicates keeps bounded aggregation state (no collect_list)") {
+    // a pathological hot digest (millions of identical docs at 100 TB) must
+    // never build a member ARRAY in one agg buffer: the reduction is
+    // min/count only, members come back via the digest join
+    val docs = (0 until 100).map(i => (i.toLong, s"t${i % 7}"))
+      .toDF("doc_id", "text")
+    val r = Dedup.exactDuplicates(docs, col("doc_id"), col("text"))
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list") && !plan.contains("CollectList"),
+      s"unbounded member collection is back:\n$plan")
+    // same contract as before the refactor: every non-canonical member maps
+    // to the min id of its group, group_size counts the whole group
+    val rows = r.as[(Long, Long, Long)].collect()
+    assert(rows.length == 100 - 7)           // 7 canonical docs survive
+    assert(rows.forall { case (d, c, n) => c == d % 7 && n >= 14 })
+  }
+
+  test("pipeline_e2e inherits the bounded-state dedup (no collect_list)") {
+    val plan = graft.SparkEntry.queries("pipeline_e2e")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list") && !plan.contains("CollectList"),
+      s"pipeline_e2e re-grew unbounded agg state:\n$plan")
+  }
+
+  test("bucketPairs degrades gracefully on an adversarial hot bucket") {
+    // one bucket stuffed with 10× the cap: the capping window must bound
+    // both the pair blowup (≤ cap·(cap−1)/2) and which ids survive (the
+    // cap smallest — deterministic under retries and arrival order)
+    val cap = 20
+    val banded = (0 until 10 * cap).reverse.map(i => (0, 0L, i.toLong))
+      .toDF("band", "bucket", "doc_id")
+    val pairs = Dedup.bucketPairs(banded, "doc_id", cap)
+      .as[(Long, Long)].collect()
+    assert(pairs.length == cap * (cap - 1) / 2,
+      s"expected capped pair count, got ${pairs.length}")
+    assert(pairs.forall { case (a, b) => a < cap && b < cap && a < b },
+      "cap must keep the smallest ids and emit ordered pairs")
+    // the cap is a per-(band,bucket) WINDOW (spillable sort), not an agg
+    val plan = Dedup.bucketPairs(banded, "doc_id", cap)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"capping window missing:\n$plan")
+  }
+}
+
+class GroupSampleScaleSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // 90% of rows in one hot stratum — the shape that kills a single-phase
+  // per-stratum window at scale
+  private val skewed = (0 until 2000).map(i =>
+    (i.toLong, if (i % 10 == 0) s"s${i % 40}" else "HOT"))
+    .toDF("doc_id", "lang")
+
+  test("two-phase groupSample equals the single-phase reference") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Corpus.groupSample(skewed, col("doc_id"), col("lang"), k = 7,
+        salt = "x").as[(Long, String)].collect().toSet
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(Corpus.hashUniform(col("doc_id"), "x").asc, col("doc_id").asc)
+    val ref = skewed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 7).drop("rn")
+      .as[(Long, String)].collect().toSet
+    assert(got == ref, s"two-phase sample diverged: ${got.size} vs ${ref.size}")
+  }
+
+  test("groupSample pre-ranks within salted sub-strata (skew-safe plan)") {
+    val plan = Corpus.groupSample(skewed, col("doc_id"), col("lang"), k = 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__gs_salt"),
+      s"salted pre-rank phase missing from plan:\n$plan")
+    val windows = plan.linesIterator.count(l => l.trim.startsWith("Window") ||
+      l.contains("[row_number()"))
+    assert(windows >= 2, s"expected two ranking phases:\n$plan")
+  }
+}
+
 class NewOperatorPlanSpec extends SparkSpecBase {
   import spark.implicits._
 
