@@ -31,6 +31,17 @@ object SparkEntry {
   private def tss(c: Column): Column =
     date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
 
+  /** Exact cosine via SQL higher-order folds — an execution path
+    * INDEPENDENT of the codegen CosineSimilarity kernel; the partial-oracle
+    * invariant queries use it to cross-check reported scores (interpreted
+    * lambdas, so only ever applied to small candidate/result sets). */
+  private def cosineHof(a: String, b: String): Column = {
+    def dot(x: String, y: String) = expr(
+      s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * q), " +
+        "0D, (acc, v) -> acc + v)")
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Revenue-by-order join/agg (TPC-H Q3 shape): broadcast dim join +
     * partial-agg shuffle + top-k — the canonical OLAP path. */
@@ -545,6 +556,21 @@ object SparkEntry {
           col("src"), tss(col("ts")).as("ts_s"))
     }),
 
+    // Batch twin of the STREAMING three-way gated merge (StreamingSpec's
+    // n-way MergerTest sequence): once all inputs are complete the gate is
+    // vacuous and the merge is exactly N-way UNION ALL + total time order —
+    // same twin relationship as sessionize_batch / sessionize.
+    "merge_streams_n" -> ((s, d) => {
+      val e = T(s, d, "events")
+      val a = e.filter(col("event_type") === "click").withColumn("src", lit("a"))
+      val b = e.filter(col("event_type") === "view").withColumn("src", lit("b"))
+      val c = e.filter(!col("event_type").isin("click", "view"))
+        .withColumn("src", lit("c"))
+      MergeStreams.mergedN(Seq(a, b, c), col("ts"), col("event_id"))
+        .select(col("emit_seq").cast("long").as("emit_seq"), col("event_id"),
+          col("src"), tss(col("ts")).as("ts_s"))
+    }),
+
     "subpartition_roundrobin" -> ((s, d) => {
       val e = T(s, d, "events").withColumn("part", col("user_id") % 4)
       Subpartitions.roundRobin(e, col("part"), 8,
@@ -608,11 +634,44 @@ object SparkEntry {
     }),
 
     // The production path: fused codegen SimHash64 kernel (custom 64-bit
-    // hash, KAT-pinned in GraftHashSpec) — not DuckDB-reproducible, so
-    // rows-only here.
-    "dedup_simhash_kernel" -> ((s, d) =>
-      Dedup.simhashPairs(T(s, d, "documents"), col("doc_id"), col("text"),
-        maxHamming = 3)),
+    // hash, KAT-pinned in GraftHashSpec). The signature is not
+    // DuckDB-reproducible, so the oracle is PARTIAL: invariant booleans
+    // computed from the operator's pair output by an INDEPENDENT in-engine
+    // path — exact all-pairs hamming via bit_count(a ^ b) over a broadcast
+    // self-join, no bands / bucket cap / GraftFunctions.hamming — and
+    // DuckDB pins the expected constant-TRUE row. `no_missed_pair` +
+    // `no_spurious_pair` prove the banded blocking EQUALS the exact
+    // all-pairs hamming<=3 set (recall is exact for maxHamming <= bands-1).
+    "dedup_simhash_kernel" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val p = Dedup.simhashPairs(docs, col("doc_id"), col("text"),
+        maxHamming = 3)
+      val sig = docs.select(col("doc_id"),
+        GraftFunctions.simhash(TextFunctions.tokens(col("text"))).as("sim"))
+      val exact = sig.select(col("doc_id").as("id_a"), col("sim").as("sa"))
+        .join(broadcast(sig.select(col("doc_id").as("id_b"),
+          col("sim").as("sb"))), col("id_a") < col("id_b"))
+        .filter(expr("bit_count(sa ^ sb)") <= 3)
+        .select(col("id_a"), col("id_b"))
+      val withSig = p
+        .join(sig.select(col("doc_id").as("id_a"), col("sim").as("sa")),
+          Seq("id_a"))
+        .join(sig.select(col("doc_id").as("id_b"), col("sim").as("sb")),
+          Seq("id_b"))
+      val structural = withSig.agg(
+        (count(lit(1)) > 0).as("nonempty"),
+        coalesce(every(col("id_a") < col("id_b")), lit(false)).as("ordered"),
+        (count(lit(1)) === countDistinct(col("id_a"), col("id_b")))
+          .as("distinct_pairs"),
+        coalesce(every(col("hamming") === expr("bit_count(sa ^ sb)") &&
+          col("hamming") <= 3), lit(false)).as("hamming_honest"))
+      val noMissed = exact.join(p, Seq("id_a", "id_b"), "left_anti")
+        .agg((count(lit(1)) === 0).as("no_missed_pair"))
+      val noSpurious = p.select("id_a", "id_b")
+        .join(exact, Seq("id_a", "id_b"), "left_anti")
+        .agg((count(lit(1)) === 0).as("no_spurious_pair"))
+      structural.crossJoin(broadcast(noMissed)).crossJoin(broadcast(noSpurious))
+    }),
 
     "dedup_ngram" -> ((s, d) =>
       Dedup.tokenJaccardPairs(T(s, d, "documents"), col("doc_id"), col("text"),
@@ -654,10 +713,51 @@ object SparkEntry {
               col("cv"))) <= 0.03).as("ok"))
     }),
 
-    // hyperplane-LSH blocking: recall < 1 by construction -> rows-only.
-    "dedup_embedding_lsh" -> ((s, d) =>
-      Dedup.embeddingLshPairs(T(s, d, "embeddings"), col("vec_id"),
-        col("embedding"), threshold = 0.3, bands = 8, bitsPerBand = 8)),
+    // hyperplane-LSH blocking: recall < 1 by construction, so a row-level
+    // oracle is impossible — but PRECISION is exact and oracle-able as
+    // invariant booleans: every emitted pair's cosine (recomputed via the
+    // independent HOF fold, not the operator's kernel) clears the
+    // threshold; pairs are ordered and distinct; and identical vectors —
+    // which collide in EVERY band, so blocking can never lose them — are
+    // all found. DuckDB pins the constant-TRUE row.
+    "dedup_embedding_lsh" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val pairs = Dedup.embeddingLshPairs(emb, col("vec_id"),
+        col("embedding"), threshold = 0.3, bands = 8, bitsPerBand = 8)
+      val v = emb.select(col("vec_id"), col("embedding"))
+      val withVec = pairs
+        .join(v.select(col("vec_id").as("id_a"), col("embedding").as("va")),
+          Seq("id_a"))
+        .join(v.select(col("vec_id").as("id_b"), col("embedding").as("vb")),
+          Seq("id_b"))
+        .withColumn("cos_ref", cosineHof("va", "vb"))
+      val structural = withVec.agg(
+        (count(lit(1)) > 0).as("nonempty"),
+        coalesce(every(col("id_a") < col("id_b")), lit(false)).as("ordered"),
+        (count(lit(1)) === countDistinct(col("id_a"), col("id_b")))
+          .as("distinct_pairs"),
+        // the operator's acceptance is on the 4-dp ROUNDED cosine, so the
+        // invariant mirrors that (raw 0.29996 rounds up and passes)
+        coalesce(every(round(col("cos_ref"), 4) >= 0.3), lit(false))
+          .as("precision_ok"),
+        coalesce(every(abs(col("cos") - round(col("cos_ref"), 4)) <= 1e-9),
+          lit(false)).as("cos_honest"))
+      // identical-vector pairs (equi-join on vector hash, verified by array
+      // equality): cosine 1 >= threshold and signatures agree on all bands,
+      // so every one of them MUST appear in the LSH output
+      val keyed = emb.select(col("vec_id"), col("embedding"),
+        hash(col("embedding")).as("h"))
+      val ident = keyed
+        .select(col("h"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+        .join(keyed.select(col("h"), col("vec_id").as("id_b"),
+          col("embedding").as("eb")), Seq("h"))
+        .filter(col("id_a") < col("id_b") && col("ea") === col("eb"))
+        .select("id_a", "id_b")
+      val recallIdent = ident
+        .join(pairs.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+        .agg((count(lit(1)) === 0).as("identical_pairs_found"))
+      structural.crossJoin(broadcast(recallIdent))
+    }),
 
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingNearDup(T(s, d, "embeddings"), col("vec_id"),
@@ -723,16 +823,60 @@ object SparkEntry {
       Corpus.tfidfTopTerms(T(s, d, "documents"), col("doc_id"), col("text"),
         k = 3)),
 
-    // Lloyd-refined IVF: spherical k-means is not DuckDB-expressible →
-    // rows-only here; convergence + recall are spec-pinned
-    // (KMeansIvfSpec), and the untrained path is fully oracled above.
+    // Lloyd-refined IVF: spherical k-means is not DuckDB-expressible, so
+    // the oracle is PARTIAL — per-query invariant booleans. The strongest
+    // one is `equals_probed_topk`: IVF's contract is "the exact top-k
+    // restricted to the probed buckets", and the query re-derives that
+    // reference through an INDEPENDENT path (window-rank instead of the
+    // TopK partial aggregator, higher-order-fold cosine instead of the
+    // codegen kernel) and requires row-for-row equality — rank, id, and
+    // score. DuckDB pins one constant-TRUE row per query id.
+    // (Convergence + cluster recall are additionally spec-pinned in
+    // KMeansIvfSpec; the untrained IVF path is fully row-oracled above.)
     "similarity_ivf_trained" -> ((s, d) => {
       val e = T(s, d, "embeddings")
       val centroids = Similarity.trainCentroids(e, centroidStride = 25,
         iters = 2)
       val idx = Similarity.ivfIndexFrom(e, centroids)
-      Similarity.ivfTopKWith(e.filter(col("vec_id") < 8), idx, centroids,
-        nProbe = 3, k = 5)
+      val res = Similarity.ivfTopKWith(e.filter(col("vec_id") < 8), idx,
+        centroids, nProbe = 3, k = 5)
+      // independent reference: nProbe nearest centroids by HOF cosine,
+      // then exact top-k within those buckets by window-rank
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val wp = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_c").desc, col("centroid_id").asc)
+      val probed = q.crossJoin(broadcast(centroids))
+        .withColumn("cos_c", cosineHof("qv", "centroid"))
+        .withColumn("prn", row_number().over(wp))
+        .filter(col("prn") <= 3)
+        .select(col("query_id"), col("qv"), col("centroid_id"))
+      val wr = Window.partitionBy(col("query_id"))
+        .orderBy(col("ref_cos").desc, col("cand_id").asc)
+      val refTop = probed
+        .join(idx.select(col("centroid_id"), col("vec_id").as("cand_id"),
+          col("embedding").as("cv")), Seq("centroid_id"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"),
+          round(cosineHof("qv", "cv"), 4).as("ref_cos"))
+        .withColumn("ref_rank", row_number().over(wr))
+        .filter(col("ref_rank") <= 5)
+      val matches = res.join(refTop, Seq("query_id", "cand_id"))
+        .filter(col("rank") === col("ref_rank") &&
+          col("cos") === col("ref_cos"))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("__matched"))
+      res.groupBy(col("query_id"))
+        .agg(
+          (count(lit(1)) === 5).as("k_results"),
+          (min(col("rank")) === 1 && max(col("rank")) === 5 &&
+            countDistinct(col("rank")) === 5).as("ranks_contiguous"),
+          (count(lit(1)) === countDistinct(col("cand_id")))
+            .as("distinct_candidates"))
+        .join(matches, Seq("query_id"), "left")
+        .select(col("query_id"), col("k_results"), col("ranks_contiguous"),
+          col("distinct_candidates"),
+          (coalesce(col("__matched"), lit(0)) === 5).as("equals_probed_topk"))
     }),
 
     // Flagship composition: the full training-data prep pipeline — quality
@@ -976,18 +1120,40 @@ object SparkEntry {
 
   // ------------------------------------------------------------- oracles
 
-  /** DuckDB-dialect mirrors. Keys absent here (dedup_simhash_kernel,
-    * dedup_embedding_lsh, similarity_ivf_trained) are inherently
-    * engine-specific — a custom 64-bit kernel hash, recall<1 LSH blocking,
-    * and k-means training DuckDB cannot reproduce → the driver records the
-    * weaker rows-only check for those; each is pinned by known-answer or
-    * property specs instead. */
+  /** DuckDB-dialect mirrors.
+    *
+    * PARTIAL (invariant-boolean) oracles — dedup_simhash_kernel,
+    * dedup_embedding_lsh, similarity_ivf_trained — cover the three
+    * operators whose row output is inherently engine-specific (a custom
+    * 64-bit kernel hash, recall<1 LSH blocking, k-means training): the
+    * Spark query computes falsifiable invariants from the operator's own
+    * output via an INDEPENDENT in-engine path (all-pairs bit_count
+    * hamming, higher-order-function cosine folds, exact brute-force kth
+    * score) and DuckDB pins the expected constant-TRUE rows — any
+    * violated invariant hash-mismatches. Each is additionally pinned by
+    * known-answer or property specs. */
   def oracleSql: Map[String, String] = Map(
 
     "approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         | TRUE AS approx_within_10pct
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "dedup_simhash_kernel" ->
+      """SELECT TRUE AS nonempty, TRUE AS ordered, TRUE AS distinct_pairs,
+        | TRUE AS hamming_honest, TRUE AS no_missed_pair,
+        | TRUE AS no_spurious_pair""".stripMargin,
+
+    "dedup_embedding_lsh" ->
+      """SELECT TRUE AS nonempty, TRUE AS ordered, TRUE AS distinct_pairs,
+        | TRUE AS precision_ok, TRUE AS cos_honest,
+        | TRUE AS identical_pairs_found""".stripMargin,
+
+    "similarity_ivf_trained" ->
+      """SELECT vec_id AS query_id, TRUE AS k_results,
+        | TRUE AS ranks_contiguous, TRUE AS distinct_candidates,
+        | TRUE AS equals_probed_topk
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1407,6 +1573,19 @@ object SparkEntry {
         |    WHERE event_type IN ('click', 'view')
         |  UNION ALL
         |  SELECT ts, event_id, 'b' AS src FROM events
+        |    WHERE event_type NOT IN ('click', 'view'))""".stripMargin,
+
+    "merge_streams_n" ->
+      """SELECT row_number() OVER (ORDER BY ts, event_id) AS emit_seq,
+        | event_id, src, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
+        |FROM (
+        |  SELECT ts, event_id, 'a' AS src FROM events
+        |    WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT ts, event_id, 'b' AS src FROM events
+        |    WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT ts, event_id, 'c' AS src FROM events
         |    WHERE event_type NOT IN ('click', 'view'))""".stripMargin,
 
     "subpartition_roundrobin" ->

@@ -31,8 +31,17 @@ object MergeStreams {
     * orderBy — and the global sequence comes from zipWithIndex: one extra
     * count job over the sorted partitions, no single-reducer stage. */
   def merged(a: DataFrame, b: DataFrame, ts: Column,
-             tieBreak: Column): DataFrame = {
-    val u = a.unionByName(b)
+             tieBreak: Column): DataFrame =
+    mergedN(Seq(a, b), ts, tieBreak)
+
+  /** N-way form of [[merged]] — the reference merges an arbitrary set of
+    * input partitions/streams into one time-ordered output, not just two
+    * (MergerTest.java drives three inputs). Same scale shape: one UNION
+    * ALL, one range exchange, per-partition sort, zipWithIndex. */
+  def mergedN(inputs: Seq[DataFrame], ts: Column,
+              tieBreak: Column): DataFrame = {
+    require(inputs.nonEmpty, "mergedN needs at least one input")
+    val u = inputs.reduce(_ unionByName _)
     val sorted = u.repartitionByRange(ts, tieBreak)
       .sortWithinPartitions(ts, tieBreak)
     val schema = org.apache.spark.sql.types.StructType(
