@@ -78,9 +78,35 @@ object Bench {
     val primary = timeSuite(spark, sfDir, shuffleBytes)
 
     val qs = obj(primary.map { case (k, v, _) => k -> v.toString })
-    val sh = obj(primary.map { case (k, _, b) =>
-      k -> ((b / 10486) / 100.0).toString }) // MB, 2 decimals
+    val nowMb = primary.map { case (k, _, b) => k -> (b / 10486) / 100.0 }
+    val sh = obj(nowMb.map { case (k, v) => k -> v.toString }) // MB, 2 dp
     val total = primary.map(_._2).sum
+
+    // Shuffle-byte regression gate: plan regressions (a lost broadcast, a
+    // dropped pushdown, an un-pruned scan feeding an exchange) surface as
+    // DATA even when small-SF wall-clock hides them. The committed per-SF
+    // baseline (bench_baseline/<sf>.shuffle.json) is diffed on every run;
+    // >2x growth on a query shuffling >=1 MB is flagged in the output.
+    // First run at a new SF seeds the baseline; refresh it deliberately
+    // after an intentional plan change (SPARK_GRAFT_UPDATE_BASELINE=1).
+    val baseFile = new java.io.File(
+      s"bench_baseline/${sfDir.split('/').last}.shuffle.json")
+    val regressions: Seq[String] =
+      if (baseFile.isFile && sys.env.get("SPARK_GRAFT_UPDATE_BASELINE").isEmpty) {
+        val txt = new String(java.nio.file.Files.readAllBytes(baseFile.toPath))
+        val prev = """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        nowMb.collect {
+          case (q, now) if prev.get(q).exists(p => now >= 1.0 && now > 2.0 * p) =>
+            obj(Seq("query" -> ("\"" + q + "\""),
+              "prev_mb" -> prev(q).toString, "now_mb" -> now.toString))
+        }
+      } else {
+        baseFile.getParentFile.mkdirs()
+        java.nio.file.Files.write(baseFile.toPath,
+          obj(nowMb.map { case (k, v) => k -> v.toString }).getBytes)
+        Seq.empty
+      }
     val extra = secondary.map { sec =>
       val secMap = sec.map(t => t._1 -> t._2).toMap
       val ratios = primary.flatMap { case (k, v, _) =>
@@ -90,7 +116,7 @@ object Bench {
         obj(sec.map { case (k, v, _) => k -> v.toString })
       },"scale_ratio":${obj(ratios)}"""
     }.getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir"$extra}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"shuffle_regressions":[${regressions.mkString(",")}],"sf":"$sfDir"$extra}""")
     spark.stop()
   }
 }

@@ -120,6 +120,16 @@ final class GraftPipeline private (query: StreamingQuery,
 
   private val callbackFired = new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  /** Teardown hook run exactly once when the pipeline reaches a terminal
+    * status (after the ShutdownCallback). [[GraftPipeline.startWatched]]
+    * registers the watchdog stop + listener removal here so the
+    * observability loop can never leak a thread past the pipeline. */
+  @volatile private var cleanup: () => Unit = () => ()
+  private[streaming] def registerCleanup(f: () => Unit): Unit = {
+    val prev = cleanup
+    cleanup = () => { prev(); f() }
+  }
+
   /** Walk the remaining transitions to a terminal status and fire the
     * callback exactly once (re-entry returns the terminal already set).
     * The terminal status is decided under the lock, but the user callback
@@ -154,7 +164,9 @@ final class GraftPipeline private (query: StreamingQuery,
         (t, cause, callbackFired.compareAndSet(false, true))
       }
     }
-    if (fire) onShutdown(cause)
+    if (fire)
+      try onShutdown(cause)
+      finally cleanup()
     t
   }
 
@@ -227,8 +239,10 @@ object GraftPipeline {
     * pinned to THIS query's id (no adoption race with other queries on
     * the session) and the processing-timeout watchdog enforcing O5 — the
     * assembled form of the reference's consumer + metrics + timeout
-    * machinery. Caller owns the teardown: `watchdog.stop()` and
-    * `spark.streams.removeListener(listener)` after shutdown. */
+    * machinery. Teardown is wired too: when the pipeline reaches a
+    * terminal status, the watchdog thread is stopped and the listener is
+    * removed from the session — no leaked observers, no caller-owned
+    * cleanup (calling `watchdog.stop()` again is a harmless no-op). */
   def startWatched(writer: DataStreamWriter[Row], checkpointDir: String,
                    spark: org.apache.spark.sql.SparkSession,
                    triggerInterval: String = "1 second",
@@ -245,6 +259,10 @@ object GraftPipeline {
     }
     listener.watch(p.underlying.id)
     val dog = new PipelineWatchdog(p, listener).start()
+    p.registerCleanup { () =>
+      dog.stop()
+      spark.streams.removeListener(listener)
+    }
     (p, listener, dog)
   }
 }

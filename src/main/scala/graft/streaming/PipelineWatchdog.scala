@@ -25,8 +25,11 @@ final class PipelineWatchdog(pipeline: GraftPipeline,
 
   def start(): this.type = { thread.start(); this }
 
-  /** Cancel the watchdog (does not touch the pipeline). */
+  /** Cancel the watchdog (does not touch the pipeline). Idempotent. */
   def stop(): Unit = { stopped = true; thread.interrupt() }
+
+  /** True while the monitor thread runs (test/diagnostic surface). */
+  def isAlive: Boolean = thread.isAlive
 
   private def run(): Unit =
     try {

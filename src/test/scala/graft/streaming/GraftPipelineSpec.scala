@@ -145,8 +145,17 @@ class GraftPipelineSpec extends SparkSpecBase {
       assert(!listener.metrics.isEmpty, "listener saw no progress")
       assert(!listener.stalled())
       assert(p.shutdown() == GraftPipeline.ClosedGracefully)
+      // terminal status tears the loop down deterministically: the
+      // watchdog thread dies and is not left polling behind the pipeline
+      val deadline2 = System.currentTimeMillis() + 5000
+      while (dog.isAlive && System.currentTimeMillis() < deadline2)
+        Thread.sleep(50)
+      assert(!dog.isAlive, "watchdog thread leaked past pipeline terminal")
+      assert(!Thread.getAllStackTraces.keySet.toArray.exists {
+        case t: Thread => t.isAlive && t.getName == "graft-pipeline-watchdog"
+      }, "a graft-pipeline-watchdog thread is still running")
     } finally {
-      dog.stop()
+      dog.stop() // no-op after auto-teardown; kept to pin idempotence
       spark.streams.removeListener(listener)
     }
   }
