@@ -269,6 +269,20 @@ class MergeStreamsSpec extends SparkSpecBase {
       110000L, 120000L, 130000L, 140000L))
   }
 
+  test("mergedN: three-way golden merge matches total time order") {
+    // batch twin of StreamingSpec's three-input gated merge: once inputs
+    // are complete the gate is vacuous and mergedN is the total order
+    val t1 = Seq(10000L, 50000L, 90000L).map(("t1", _))
+    val t2 = Seq(30000L, 70000L).map(("t2", _))
+    val t3 = Seq(20000L, 110000L, 120000L).map(("t3", _))
+    val merged = MergeStreams.mergedN(
+        Seq(t1.toDF("src", "ts"), t2.toDF("src", "ts"), t3.toDF("src", "ts")),
+        col("ts"), col("src"))
+      .orderBy("emit_seq").select("ts").as[Long].collect().toSeq
+    assert(merged == Seq(10000L, 20000L, 30000L, 50000L, 70000L,
+      90000L, 110000L, 120000L))
+  }
+
   test("paired watermark: record emittable iff other stream has passed it") {
     val a = Seq(10L, 50L).map(("a", _))
     val b = Seq(30L, 70L).map(("b", _))
