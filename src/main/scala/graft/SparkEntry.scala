@@ -648,6 +648,9 @@ object SparkEntry {
         maxHamming = 3)
       val sig = docs.select(col("doc_id"),
         GraftFunctions.simhash(TextFunctions.tokens(col("text"))).as("sim"))
+      // VERIFICATION HARNESS, not a production path: the exact reference
+      // is all-pairs — quadratic by construction — and runs at oracle SFs
+      // only. The operator above (banded blocking) is the scale path.
       val exact = sig.select(col("doc_id").as("id_a"), col("sim").as("sa"))
         .join(broadcast(sig.select(col("doc_id").as("id_b"),
           col("sim").as("sb"))), col("id_a") < col("id_b"))
