@@ -99,4 +99,60 @@ class CheckpointResumeSpec extends SparkSpecBase {
     assert(second == Map("v003" -> 3, "v004" -> 0),
       s"counter did not resume from checkpointed state: $second")
   }
+
+  test("merge gate buffer survives a checkpoint restart (G1 x M1)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-mg-src").toString
+    val ckpt = Files.createTempDirectory("graft-mg-ck").toString
+    val schema = StructType(Seq(
+      StructField("subKey", StringType), StructField("ms", LongType),
+      StructField("src", StringType), StructField("value", StringType)))
+    def addFile(n: Int, rows: Seq[(Long, String)]): Unit =
+      Files.writeString(Paths.get(s"$in/f$n.json"),
+        rows.map { case (ms, v) =>
+          s"""{"subKey":"k","ms":$ms,"src":"a","value":"$v"}"""
+        }.mkString("\n"))
+
+    def runOnce(): Seq[(Long, String)] = {
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+      val ds = spark.readStream.schema(schema).json(in)
+        .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+        .as[SubRecord]
+      val gated = StreamingMerge.orderedEmit(
+        StreamingMerge.gatedUnion("5 seconds", ds))
+      val q = gated.toDF().writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => out.add(
+            (r.getAs[java.sql.Timestamp]("ts").getTime,
+              r.getAs[String]("value"))))
+        }.start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      out.asScala.toSeq
+    }
+
+    val t0 = 1700000000000L
+    // run 1: the watermark inside the run reaches max(ts) - 5s = t0+15s,
+    // so r0/r2 release but r20 stays BUFFERED in flatMapGroupsWithState
+    // state when the query stops — exactly the gate's crash surface
+    addFile(1, Seq((t0, "r0"), (t0 + 2000, "r2"), (t0 + 20000, "r20")))
+    val first = runOnce()
+    assert(first.map(_._2) == Seq("r0", "r2"),
+      s"run 1 should gate r20 above its watermark: $first")
+
+    // down-time data advances the watermark past r20; the restarted
+    // query must release the row run 1 left buffered — exactly once,
+    // before the newly-arrived one, in ts order
+    addFile(2, Seq((t0 + 30000, "r30")))
+    val second = runOnce()
+    assert(second.map(_._2).headOption.contains("r20"),
+      s"buffered row lost across restart: first=$first second=$second")
+    assert(second == second.sortBy(_._1), s"emission not ts-ordered: $second")
+    val all = first ++ second
+    assert(all.map(_._2).distinct.size == all.size,
+      s"replay duplicated gated rows: $all")
+  }
 }
