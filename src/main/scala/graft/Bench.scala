@@ -45,7 +45,9 @@ object Bench {
     entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
   def main(args: Array[String]): Unit = {
+    // normalized (no trailing slash) so name derivation below can't yield ""
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      .stripSuffix("/")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // companion SF for the scaling check: one step down from the primary
     // (override with SPARK_GRAFT_SF2_DIR; absent dir -> skipped)
@@ -91,21 +93,37 @@ object Bench {
     // after an intentional plan change (SPARK_GRAFT_UPDATE_BASELINE=1).
     val baseFile = new java.io.File(
       s"bench_baseline/${sfDir.split('/').last}.shuffle.json")
-    val regressions: Seq[String] =
+    def writeBaseline(m: Seq[(String, Double)]): Unit = {
+      baseFile.getParentFile.mkdirs()
+      java.nio.file.Files.write(baseFile.toPath,
+        obj(m.map { case (k, v) => k -> v.toString }).getBytes)
+    }
+    val (regressions: Seq[String], baselineMissing: Seq[String]) =
       if (baseFile.isFile && sys.env.get("SPARK_GRAFT_UPDATE_BASELINE").isEmpty) {
         val txt = new String(java.nio.file.Files.readAllBytes(baseFile.toPath))
         val prev = """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        nowMb.collect {
+        if (prev.isEmpty && txt.trim.nonEmpty)
+          System.err.println("[bench] WARNING: baseline file " + baseFile +
+            " is non-empty but parsed to zero entries — the shuffle " +
+            "regression gate is effectively DISABLED; re-seed it with " +
+            "SPARK_GRAFT_UPDATE_BASELINE=1")
+        val regs = nowMb.collect {
           case (q, now) if prev.get(q).exists(p => now >= 1.0 && now > 2.0 * p) =>
             obj(Seq("query" -> ("\"" + q + "\""),
               "prev_mb" -> prev(q).toString, "now_mb" -> now.toString))
         }
+        // queries added since the baseline was seeded: gate them from their
+        // first observed run (auto-append) instead of leaving them
+        // permanently un-gated, and surface them in the output
+        val missing = nowMb.collect { case (q, _) if !prev.contains(q) => q }
+        if (missing.nonEmpty && prev.nonEmpty)
+          writeBaseline((prev.toSeq ++
+            nowMb.filter { case (q, _) => !prev.contains(q) }).sortBy(_._1))
+        (regs, missing)
       } else {
-        baseFile.getParentFile.mkdirs()
-        java.nio.file.Files.write(baseFile.toPath,
-          obj(nowMb.map { case (k, v) => k -> v.toString }).getBytes)
-        Seq.empty
+        writeBaseline(nowMb)
+        (Seq.empty[String], Seq.empty[String])
       }
     val extra = secondary.map { sec =>
       val secMap = sec.map(t => t._1 -> t._2).toMap
@@ -116,7 +134,8 @@ object Bench {
         obj(sec.map { case (k, v, _) => k -> v.toString })
       },"scale_ratio":${obj(ratios)}"""
     }.getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"shuffle_regressions":[${regressions.mkString(",")}],"sf":"$sfDir"$extra}""")
+    val missingJson = baselineMissing.map("\"" + _ + "\"").mkString(",")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"shuffle_regressions":[${regressions.mkString(",")}],"baseline_missing":[$missingJson],"sf":"$sfDir"$extra}""")
     spark.stop()
   }
 }

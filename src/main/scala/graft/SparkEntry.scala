@@ -42,6 +42,83 @@ object SparkEntry {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  /** Invariant booleans for a set-similarity pair frame
+    * (`id_a, id_b, jaccard`), cross-checked by a RELATIONAL
+    * explode→join→count intersection over `items` (`doc_id, item`) — an
+    * execution path independent of the operators' array/sorted-merge
+    * kernels. Linear in |pairs| (items are semi-joined to pair members
+    * first), so the sf0.1-tractable twin of the quadratic all-pairs
+    * DuckDB oracles. */
+  private def setPairInvariants(items: DataFrame, pairs: DataFrame,
+                                threshold: Double): DataFrame = {
+    val ids = pairs.select(explode(array(col("id_a"), col("id_b")))
+      .as("doc_id")).distinct()
+    val it = items.join(ids, Seq("doc_id"), "left_semi").distinct()
+    val sizes = it.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val e = pairs.select("id_a", "id_b")
+    val inter = e
+      .join(it.select(col("doc_id").as("id_a"), col("item")), Seq("id_a"))
+      .join(it.select(col("doc_id").as("id_b"), col("item")),
+        Seq("id_b", "item"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ninter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")),
+        Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")),
+        Seq("id_b"))
+      .withColumn("jac_ref", coalesce(col("ninter"), lit(0)).cast("double") /
+        (col("na") + col("nb") - coalesce(col("ninter"), lit(0))))
+      .agg(
+        (count(lit(1)) > 0).as("nonempty"),
+        coalesce(every(col("id_a") < col("id_b")), lit(false)).as("ordered"),
+        (count(lit(1)) === countDistinct(col("id_a"), col("id_b")))
+          .as("distinct_pairs"),
+        coalesce(every(abs(col("jaccard") - round(col("jac_ref"), 4))
+          <= 1e-9), lit(false)).as("jaccard_honest"),
+        coalesce(every(col("jaccard") >= threshold), lit(false))
+          .as("threshold_ok"))
+  }
+
+  /** Invariant booleans for a cluster frame
+    * (`doc_id, component, cluster_size`) against its edge frame: labels
+    * constant along every edge (no over-split), canonical = min member,
+    * sizes consistent, membership exactly the ids appearing in edges.
+    * Maximality (no over-MERGE) is not linearly certifiable from the
+    * output alone — that direction is pinned by the exact WITH RECURSIVE
+    * oracles of dedup_cluster / embedding_cluster at oracle SFs and the
+    * union-find property spec. */
+  private def clusterInvariants(pairs: DataFrame,
+                                clusters: DataFrame): DataFrame = {
+    val lab = clusters.select(col("doc_id"), col("component"))
+    val structural = clusters.groupBy(col("component"))
+      .agg(min(col("doc_id")).as("mn"), count(lit(1)).as("n"),
+        min(col("cluster_size")).as("szmin"),
+        max(col("cluster_size")).as("szmax"))
+      .agg(
+        (count(lit(1)) > 0).as("nonempty"),
+        coalesce(every(col("mn") === col("component")), lit(false))
+          .as("canonical_is_min_member"),
+        coalesce(every(col("n") === col("szmin") &&
+          col("n") === col("szmax")), lit(false)).as("size_consistent"),
+        coalesce(every(col("n") >= 2), lit(false)).as("clusters_nontrivial"))
+    val edgeOk = pairs.select("id_a", "id_b")
+      .join(lab.select(col("doc_id").as("id_a"),
+        col("component").as("comp_a")), Seq("id_a"))
+      .join(lab.select(col("doc_id").as("id_b"),
+        col("component").as("comp_b")), Seq("id_b"))
+      .agg(coalesce(every(col("comp_a") === col("comp_b")), lit(false))
+        .as("edges_within_cluster"))
+    val memOk = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct().withColumn("in_pairs", lit(1))
+      .join(lab.groupBy(col("doc_id")).agg(count(lit(1)).as("k")),
+        Seq("doc_id"), "full")
+      .agg(coalesce(every(col("in_pairs").isNotNull && col("k") === 1),
+        lit(false)).as("membership_exact"))
+    structural.crossJoin(broadcast(edgeOk)).crossJoin(broadcast(memOk))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Revenue-by-order join/agg (TPC-H Q3 shape): broadcast dim join +
     * partial-agg shuffle + top-k — the canonical OLAP path. */
@@ -680,6 +757,53 @@ object SparkEntry {
       Dedup.tokenJaccardPairs(T(s, d, "documents"), col("doc_id"), col("text"),
         block = Seq(col("lang")), threshold = 0.97)),
 
+    // ---- sf0.1-tractable invariant twins -------------------------------
+    // dedup_minhash / dedup_ngram / dedup_cluster / embedding_cluster are
+    // oracled EXACTLY by quadratic all-pairs / WITH RECURSIVE DuckDB SQL —
+    // tractable at oracle SFs, intractable at sf0.1+ (>20 min in DuckDB).
+    // These twins verify the same operators through linear invariant
+    // booleans computed by independent in-engine paths (relational
+    // explode→join→count intersection; label/edge consistency), with
+    // constant-TRUE DuckDB rows — so the full inventory stays
+    // oracle-checkable at every SF.
+    "dedup_minhash_inv" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.minhashLsh(docs, col("doc_id"), col("text"),
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.7)
+      val items = docs.select(col("doc_id"),
+        explode(TextFunctions.wordNGrams(col("text"), 3)).as("item"))
+      setPairInvariants(items, pairs, 0.7)
+    }),
+
+    "dedup_ngram_inv" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.tokenJaccardPairs(docs, col("doc_id"), col("text"),
+        block = Seq(col("lang")), threshold = 0.97)
+      val items = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("item"))
+      val langOf = docs.select(col("doc_id"), col("lang"))
+      val blocksOk = pairs
+        .join(langOf.select(col("doc_id").as("id_a"),
+          col("lang").as("lang_a")), Seq("id_a"))
+        .join(langOf.select(col("doc_id").as("id_b"),
+          col("lang").as("lang_b")), Seq("id_b"))
+        .agg(coalesce(every(col("lang_a") === col("lang_b")), lit(false))
+          .as("blocks_match"))
+      setPairInvariants(items, pairs, 0.97).crossJoin(broadcast(blocksOk))
+    }),
+
+    "dedup_cluster_inv" -> ((s, d) => {
+      val pairs = Dedup.tokenJaccardPairs(T(s, d, "documents"),
+        col("doc_id"), col("text"), block = Seq(col("lang")), threshold = 0.9)
+      clusterInvariants(pairs, Dedup.duplicateClusters(pairs))
+    }),
+
+    "embedding_cluster_inv" -> ((s, d) => {
+      val pairs = Dedup.embeddingNearDup(T(s, d, "embeddings"),
+        col("vec_id"), col("embedding"), col("label"), threshold = 0.3)
+      clusterInvariants(pairs, Dedup.duplicateClusters(pairs))
+    }),
+
     // Transitive closure of near-dup pairs: connected components (min-label
     // propagation + pointer jumping) → one canonical doc per cluster.
     "dedup_cluster" -> ((s, d) =>
@@ -747,9 +871,17 @@ object SparkEntry {
           lit(false)).as("cos_honest"))
       // identical-vector pairs (equi-join on vector hash, verified by array
       // equality): cosine 1 >= threshold and signatures agree on all bands,
-      // so every one of them MUST appear in the LSH output
-      val keyed = emb.select(col("vec_id"), col("embedding"),
-        hash(col("embedding")).as("h"))
+      // so every one of them MUST appear in the LSH output. Zero-norm
+      // vectors are excluded — their cosine is NaN, so the operator's
+      // threshold filter correctly drops them even when the vectors are
+      // bit-identical, and demanding them here would be a false failure.
+      // ASSUMPTION: bucketCap is not exceeded at oracle SFs (a capped hot
+      // bucket may legitimately drop an identical pair at much larger SFs).
+      val keyed = emb
+        .filter(expr(
+          "aggregate(embedding, cast(0 as double), (a, x) -> a + x * x) > 0"))
+        .select(col("vec_id"), col("embedding"),
+          hash(col("embedding")).as("h"))
       val ident = keyed
         .select(col("h"), col("vec_id").as("id_a"), col("embedding").as("ea"))
         .join(keyed.select(col("h"), col("vec_id").as("id_b"),
@@ -861,12 +993,25 @@ object SparkEntry {
           col("embedding").as("cv")), Seq("centroid_id"))
         .filter(col("query_id") =!= col("cand_id"))
         .select(col("query_id"), col("cand_id"),
-          round(cosineHof("qv", "cv"), 4).as("ref_cos"))
+          cosineHof("qv", "cv").as("ref_cos"))
         .withColumn("ref_rank", row_number().over(wr))
         .filter(col("ref_rank") <= 5)
+      // Tolerance-aware comparison (ADVICE r4): the operator reports
+      // round(cos, 4) while the reference folds the cosine with
+      // interpreted HOFs — a last-ulp divergence at a 4-dp rounding
+      // boundary (0.123450 vs 0.12344999…) must not fail the oracle.
+      // A score matches when the operator's rounded cos sits within half
+      // a rounding step of the RAW reference cosine; a rank matches
+      // exactly, or the swap sits inside a tie band narrower than one
+      // rounding step (where the operator's rounded ordering is
+      // legitimately different from the raw ordering).
+      val refAtRank = refTop.select(col("query_id"),
+        col("ref_rank").as("rank"), col("ref_cos").as("ref_cos_at_rank"))
       val matches = res.join(refTop, Seq("query_id", "cand_id"))
-        .filter(col("rank") === col("ref_rank") &&
-          col("cos") === col("ref_cos"))
+        .join(refAtRank, Seq("query_id", "rank"))
+        .filter(abs(col("cos") - col("ref_cos")) <= 5e-5 + 1e-9 &&
+          (col("rank") === col("ref_rank") ||
+            abs(col("ref_cos") - col("ref_cos_at_rank")) <= 1.1e-4))
         .groupBy(col("query_id"))
         .agg(count(lit(1)).as("__matched"))
       res.groupBy(col("query_id"))
@@ -1728,6 +1873,30 @@ object SparkEntry {
         |      c -> CAST(ord(c) AS HUGEINT)),
         |      (a, b) -> (a * 1000003 + b) % 18446744073709551616::HUGEINT) AS h
         |  FROM documents)""".stripMargin,
+
+    // The twins of the four quadratic-oracle queries: the engine computes
+    // falsifiable invariant booleans via independent in-engine paths (see
+    // the query comments); DuckDB pins the constant-TRUE rows. Linear, so
+    // they stay checkable at sf0.1+ where the all-pairs oracles above are
+    // intractable in DuckDB.
+    "dedup_minhash_inv" ->
+      """SELECT TRUE AS nonempty, TRUE AS ordered, TRUE AS distinct_pairs,
+        | TRUE AS jaccard_honest, TRUE AS threshold_ok""".stripMargin,
+
+    "dedup_ngram_inv" ->
+      """SELECT TRUE AS nonempty, TRUE AS ordered, TRUE AS distinct_pairs,
+        | TRUE AS jaccard_honest, TRUE AS threshold_ok,
+        | TRUE AS blocks_match""".stripMargin,
+
+    "dedup_cluster_inv" ->
+      """SELECT TRUE AS nonempty, TRUE AS canonical_is_min_member,
+        | TRUE AS size_consistent, TRUE AS clusters_nontrivial,
+        | TRUE AS edges_within_cluster, TRUE AS membership_exact""".stripMargin,
+
+    "embedding_cluster_inv" ->
+      """SELECT TRUE AS nonempty, TRUE AS canonical_is_min_member,
+        | TRUE AS size_consistent, TRUE AS clusters_nontrivial,
+        | TRUE AS edges_within_cluster, TRUE AS membership_exact""".stripMargin,
 
     "dedup_ngram" ->
       """WITH t AS (SELECT doc_id, lang,

@@ -123,11 +123,21 @@ final class GraftPipeline private (query: StreamingQuery,
   /** Teardown hook run exactly once when the pipeline reaches a terminal
     * status (after the ShutdownCallback). [[GraftPipeline.startWatched]]
     * registers the watchdog stop + listener removal here so the
-    * observability loop can never leak a thread past the pipeline. */
-  @volatile private var cleanup: () => Unit = () => ()
+    * observability loop can never leak a thread past the pipeline.
+    *
+    * Registration after the terminal callback has already fired (a query
+    * that fails faster than the caller can register) runs the hook
+    * immediately instead of composing it into a function nobody will call
+    * again; composition and the finalizeClose snapshot share one lock, so
+    * a hook is run exactly once whichever side wins the race. */
+  private val cleanupLock = new Object
+  private var cleanup: () => Unit = () => ()
   private[streaming] def registerCleanup(f: () => Unit): Unit = {
-    val prev = cleanup
-    cleanup = () => { prev(); f() }
+    val runNow = cleanupLock.synchronized {
+      if (callbackFired.get()) true
+      else { val prev = cleanup; cleanup = () => { prev(); f() }; false }
+    }
+    if (runNow) f()
   }
 
   /** Walk the remaining transitions to a terminal status and fire the
@@ -164,9 +174,14 @@ final class GraftPipeline private (query: StreamingQuery,
         (t, cause, callbackFired.compareAndSet(false, true))
       }
     }
-    if (fire)
+    if (fire) {
+      // snapshot under cleanupLock: a registerCleanup racing with this
+      // fire either lands in the snapshot or observes callbackFired and
+      // self-runs — never both, never neither
+      val toRun = cleanupLock.synchronized(cleanup)
       try onShutdown(cause)
-      finally cleanup()
+      finally toRun()
+    }
     t
   }
 

@@ -200,4 +200,19 @@ class GraftPipelineSpec extends SparkSpecBase {
     assert(seen.get().exists(_.nonEmpty),
       s"CannotStopThreads fired callback with ${seen.get()}")
   }
+
+  test("registerCleanup after terminal status runs immediately (ADVICE r4)") {
+    // A query that fails faster than the caller can register its teardown
+    // must still have the teardown run — otherwise startWatched would leak
+    // its listener/watchdog on a fast failure.
+    val s = MemoryStream[SubRecord](spark)
+    val ckpt = Files.createTempDirectory("graft-ckpt-late").toString
+    val p = GraftPipeline.foreachBatch(s.toDF(), ckpt, "100 milliseconds") {
+      (_, _) => ()
+    }
+    assert(p.shutdown() == GraftPipeline.ClosedGracefully)
+    val ran = new java.util.concurrent.atomic.AtomicBoolean(false)
+    p.registerCleanup(() => ran.set(true))
+    assert(ran.get(), "cleanup registered after terminal status never ran")
+  }
 }
