@@ -452,6 +452,13 @@ object SparkEntry {
           min_by(col("l_orderkey"), ord).as("cheapest_order"))
     }),
 
+    // Equi-width distribution histogram (data profiling): derived int
+    // bucket key → one map-side-combinable hash agg; shuffle ≤ bins rows
+    // per map partition at any corpus size.
+    "histogram_price" -> ((s, d) =>
+      Profile.histogram(T(s, d, "lineitem"), col("l_extendedprice"),
+        lo = 900.0, hi = 105000.0, bins = 20)),
+
     // Wide→long unpivot (Expand node: no shuffle until the aggregate).
     "unpivot_measures" -> ((s, d) =>
       T(s, d, "lineitem")
@@ -536,6 +543,14 @@ object SparkEntry {
         .withColumn("pass",
           col("len_ok") && col("wl_ok") && col("stop_ok") && col("rep_ok"))
     }),
+
+    // Word-repetition quality signals (Gopher family), computed
+    // RELATIONALLY (explode → per-term count → per-doc rollup): a scalable
+    // profiling pass and an independent cross-check shape next to the
+    // codegen ngramRepetition kernel used in quality_filter.
+    "quality_repetition" -> ((s, d) =>
+      Profile.repetitionSignals(T(s, d, "documents"), col("doc_id"),
+        col("text"))),
 
     // Per-label centroids in long form: posexplode + partial aggregation —
     // the map-side combine reduces the shuffle to labels×dims rows no
@@ -801,6 +816,18 @@ object SparkEntry {
     "embedding_cluster_inv" -> ((s, d) => {
       val pairs = Dedup.embeddingNearDup(T(s, d, "embeddings"),
         col("vec_id"), col("embedding"), col("label"), threshold = 0.3)
+      clusterInvariants(pairs, Dedup.duplicateClusters(pairs))
+    }),
+
+    // The fully keyless 100 TB clustering path: hyperplane-LSH edges (no
+    // external block key) → connected-components closure. Recall < 1 by
+    // LSH construction, so no exact oracle can exist; the cluster-level
+    // invariants (labels constant along every found edge, canonical = min
+    // member, exact membership) are the falsifiable contract.
+    "embedding_cluster_lsh" -> ((s, d) => {
+      val pairs = Dedup.embeddingLshPairs(T(s, d, "embeddings"),
+        col("vec_id"), col("embedding"), threshold = 0.3, bands = 8,
+        bitsPerBand = 8)
       clusterInvariants(pairs, Dedup.duplicateClusters(pairs))
     }),
 
@@ -1897,6 +1924,45 @@ object SparkEntry {
       """SELECT TRUE AS nonempty, TRUE AS canonical_is_min_member,
         | TRUE AS size_consistent, TRUE AS clusters_nontrivial,
         | TRUE AS edges_within_cluster, TRUE AS membership_exact""".stripMargin,
+
+    // Keyless LSH clustering: recall < 1 by construction (PARTIAL oracle —
+    // same cluster-invariant booleans as the *_inv twins).
+    "embedding_cluster_lsh" ->
+      """SELECT TRUE AS nonempty, TRUE AS canonical_is_min_member,
+        | TRUE AS size_consistent, TRUE AS clusters_nontrivial,
+        | TRUE AS edges_within_cluster, TRUE AS membership_exact""".stripMargin,
+
+    // Bucket arithmetic is written identically on both sides so the IEEE
+    // double ops (subtract, divide by the exact-double width, floor) agree
+    // bit-for-bit at bucket boundaries.
+    "histogram_price" ->
+      """SELECT CAST(least(greatest(floor((l_extendedprice - 900.0)
+        |   / 5205.0), 0), 19) AS INT) AS bucket,
+        | count(*) AS cnt,
+        | round(min(l_extendedprice), 2) AS lo_seen,
+        | round(max(l_extendedprice), 2) AS hi_seen
+        |FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    "quality_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS tk
+        |           FROM documents),
+        | w AS (SELECT doc_id, unnest(tk) AS w FROM t),
+        | wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+        | wa AS (SELECT doc_id, max(c) AS maxw, sum(c) AS nw,
+        |          count(*) AS nd FROM wc GROUP BY 1),
+        | g AS (SELECT doc_id, unnest(list_transform(
+        |          generate_series(1, len(tk) - 1),
+        |          i -> tk[i] || ' ' || tk[i+1])) AS g
+        |        FROM t WHERE len(tk) >= 2),
+        | gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+        | ga AS (SELECT doc_id, max(c) AS maxg, sum(c) AS ng
+        |        FROM gc GROUP BY 1)
+        |SELECT wa.doc_id,
+        | round(maxw * 1.0 / nw, 4) AS max_word_frac,
+        | round(nd * 1.0 / nw, 4) AS distinct_word_ratio,
+        | round(coalesce(maxg * 1.0 / ng, 0), 4) AS top_bigram_frac
+        |FROM wa LEFT JOIN ga ON wa.doc_id = ga.doc_id""".stripMargin,
 
     "dedup_ngram" ->
       """WITH t AS (SELECT doc_id, lang,
