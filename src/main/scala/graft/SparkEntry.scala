@@ -781,10 +781,17 @@ object SparkEntry {
     // explode→join→count intersection; label/edge consistency), with
     // constant-TRUE DuckDB rows — so the full inventory stays
     // oracle-checkable at every SF.
+    // NOTE on `.localCheckpoint()` below: each twin references its pair
+    // frame from several verification branches, and Spark re-evaluates a
+    // non-exchange-identical subtree per reference — materializing the
+    // (expensive LSH/join) pair computation ONCE is exactly what a 100 TB
+    // run would do with a persisted intermediate. Same pattern
+    // connectedComponents already uses per round.
     "dedup_minhash_inv" -> ((s, d) => {
       val docs = T(s, d, "documents")
       val pairs = Dedup.minhashLsh(docs, col("doc_id"), col("text"),
         shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.7)
+        .localCheckpoint()
       val items = docs.select(col("doc_id"),
         explode(TextFunctions.wordNGrams(col("text"), 3)).as("item"))
       setPairInvariants(items, pairs, 0.7)
@@ -794,6 +801,7 @@ object SparkEntry {
       val docs = T(s, d, "documents")
       val pairs = Dedup.tokenJaccardPairs(docs, col("doc_id"), col("text"),
         block = Seq(col("lang")), threshold = 0.97)
+        .localCheckpoint()
       val items = docs.select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("item"))
       val langOf = docs.select(col("doc_id"), col("lang"))
@@ -810,12 +818,14 @@ object SparkEntry {
     "dedup_cluster_inv" -> ((s, d) => {
       val pairs = Dedup.tokenJaccardPairs(T(s, d, "documents"),
         col("doc_id"), col("text"), block = Seq(col("lang")), threshold = 0.9)
+        .localCheckpoint()
       clusterInvariants(pairs, Dedup.duplicateClusters(pairs))
     }),
 
     "embedding_cluster_inv" -> ((s, d) => {
       val pairs = Dedup.embeddingNearDup(T(s, d, "embeddings"),
         col("vec_id"), col("embedding"), col("label"), threshold = 0.3)
+        .localCheckpoint()
       clusterInvariants(pairs, Dedup.duplicateClusters(pairs))
     }),
 
@@ -828,6 +838,7 @@ object SparkEntry {
       val pairs = Dedup.embeddingLshPairs(T(s, d, "embeddings"),
         col("vec_id"), col("embedding"), threshold = 0.3, bands = 8,
         bitsPerBand = 8)
+        .localCheckpoint()
       clusterInvariants(pairs, Dedup.duplicateClusters(pairs))
     }),
 

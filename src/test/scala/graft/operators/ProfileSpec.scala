@@ -25,6 +25,25 @@ class ProfileSpec extends SparkSpecBase {
     assert(h.toSeq == Seq((0, 0.5, 1.5), (4, 8.0, 8.0)))
   }
 
+  test("histogram plan: one exchange of at most `bins` rows, no window") {
+    val df = spark.range(100000L).selectExpr("cast(id as double) as x")
+    val p = Profile.histogram(df, col("x"), 0.0, 100000.0, 16)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"histogram must cost exactly one shuffle:\n$p")
+    assert(!p.contains("Window") && !p.contains("collect_list"), p)
+    assert(p.contains("partial_count"),
+      s"histogram lost its map-side combine:\n$p")
+  }
+
+  test("repetitionSignals plan: two-phase aggs, no window/collect state") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val p = Profile.repetitionSignals(docs, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window") && !p.contains("collect_list"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("repetitionSignals known answers incl. single-word doc") {
     val docs = Seq(
       (1L, "a a b"),        // max word 2/3, distinct 2/3, bigrams: "a a","a b" -> 1/2
