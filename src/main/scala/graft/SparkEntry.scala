@@ -1024,8 +1024,11 @@ object SparkEntry {
         .withColumn("prn", row_number().over(wp))
         .filter(col("prn") <= 3)
         .select(col("query_id"), col("qv"), col("centroid_id"))
+      // rank by the OPERATOR's comparator (4-dp-rounded score, then
+      // cand_id) so rounded-score ties order identically on both sides;
+      // the raw ref_cos is kept for the tolerance-based score check
       val wr = Window.partitionBy(col("query_id"))
-        .orderBy(col("ref_cos").desc, col("cand_id").asc)
+        .orderBy(round(col("ref_cos"), 4).desc, col("cand_id").asc)
       val refTop = probed
         .join(idx.select(col("centroid_id"), col("vec_id").as("cand_id"),
           col("embedding").as("cv")), Seq("centroid_id"))
