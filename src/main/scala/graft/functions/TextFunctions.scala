@@ -27,10 +27,20 @@ object TextFunctions {
   /** Word n-grams over whitespace tokens (for shingle-based MinHash).
     * transform(sequence(...)) keeps this fully inside Catalyst. */
   def wordNGrams(text: Column, n: Int): Column = {
+    // SCALE NOTE: the lambda body must only touch its own element. The
+    // earlier formulation sliced the token array inside the (interpreted)
+    // transform lambda, which re-evaluates every enclosed subtree — the
+    // regex split included — once PER n-gram: quadratic in document
+    // length, and a 400k-token document effectively never finishes.
+    // arrays_zip over n shifted slices evaluates the token split a
+    // constant number of times per row; the lambda then just concatenates
+    // the n struct fields of its element.
     val t = tokens(text)
+    val len = size(t) - lit(n - 1)
+    val zipped = arrays_zip((0 until n).map(j => slice(t, lit(j + 1), len)): _*)
     when(size(t) < n, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(1), size(t) - lit(n - 1)),
-        i => concat_ws(" ", slice(t, i, lit(n)))))
+      transform(zipped,
+        x => concat_ws(" ", (0 until n).map(j => x.getField(j.toString)): _*)))
   }
 
   /** Distinct whitespace tokens (for token-set Jaccard). */
