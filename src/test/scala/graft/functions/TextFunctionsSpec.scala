@@ -73,4 +73,21 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(r.forall(q => q >= 0.0 && q <= 1.0))
     assert(r(0) > r(1))
   }
+
+  test("wordNGrams is linear in document length (50k-token doc)") {
+    // Regression guard for the round-5 quadratic: the old formulation
+    // re-evaluated the token split once per n-gram (O(len²)) — at 50k
+    // tokens that's 2.5B re-splits and this test would hang, not fail.
+    val n = 50000
+    val doc = (0 until n).map(i => s"t${i % 997}").mkString(" ")
+    val r = Seq(doc).toDF("t")
+      .select(TextFunctions.wordNGrams(col("t"), 3).as("g"))
+      .select(size(col("g")).as("k"),
+        element_at(col("g"), 1).as("first"),
+        element_at(col("g"), -1).as("last"))
+      .as[(Int, String, String)].head()
+    assert(r._1 == n - 2)
+    assert(r._2 == "t0 t1 t2")
+    assert(r._3 == s"t${(n - 3) % 997} t${(n - 2) % 997} t${(n - 1) % 997}")
+  }
 }
