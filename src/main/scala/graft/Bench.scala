@@ -25,19 +25,20 @@ object Bench {
 
   private def timeSuite(spark: SparkSession, sfDir: String,
                         shuffleBytes: AtomicLong)
-  : Seq[(String, Double, Long)] = {
+  : Seq[(String, Double, Long, Boolean)] = {
     // warm up this SF's parquet footers outside timing
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val s0 = shuffleBytes.get()
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
       val secs = (System.nanoTime() - t0) / 1e9
       Thread.sleep(50) // let async listener events drain for attribution
-      (name, secs, shuffleBytes.get() - s0)
+      (name, secs, shuffleBytes.get() - s0, ok)
     }
   }
 
@@ -79,10 +80,14 @@ object Bench {
     val secondary = sf2Dir.map(d => timeSuite(spark, d, shuffleBytes))
     val primary = timeSuite(spark, sfDir, shuffleBytes)
 
-    val qs = obj(primary.map { case (k, v, _) => k -> v.toString })
-    val nowMb = primary.map { case (k, _, b) => k -> (b / 10486) / 100.0 }
+    val qs = obj(primary.map { case (k, v, _, _) => k -> v.toString })
+    val nowMb = primary.map { case (k, _, b, _) => k -> (b / 10486) / 100.0 }
     val sh = obj(nowMb.map { case (k, v) => k -> v.toString }) // MB, 2 dp
     val total = primary.map(_._2).sum
+    // a failed query's ~0-byte measurement must never become its baseline
+    // (it would flag every later HEALTHY run as a regression)
+    val okSet = primary.collect { case (k, _, _, true) => k }.toSet
+    val seedable = nowMb.filter { case (q, _) => okSet(q) }
 
     // Shuffle-byte regression gate: plan regressions (a lost broadcast, a
     // dropped pushdown, an un-pruned scan feeding an exchange) surface as
@@ -114,24 +119,24 @@ object Bench {
               "prev_mb" -> prev(q).toString, "now_mb" -> now.toString))
         }
         // queries added since the baseline was seeded: gate them from their
-        // first observed run (auto-append) instead of leaving them
-        // permanently un-gated, and surface them in the output
+        // first observed run (auto-append, successful runs only) instead
+        // of leaving them permanently un-gated; surface them in the output
         val missing = nowMb.collect { case (q, _) if !prev.contains(q) => q }
-        if (missing.nonEmpty && prev.nonEmpty)
-          writeBaseline((prev.toSeq ++
-            nowMb.filter { case (q, _) => !prev.contains(q) }).sortBy(_._1))
+        val appendable = seedable.filter { case (q, _) => !prev.contains(q) }
+        if (appendable.nonEmpty && prev.nonEmpty)
+          writeBaseline((prev.toSeq ++ appendable).sortBy(_._1))
         (regs, missing)
       } else {
-        writeBaseline(nowMb)
+        writeBaseline(seedable)
         (Seq.empty[String], Seq.empty[String])
       }
     val extra = secondary.map { sec =>
       val secMap = sec.map(t => t._1 -> t._2).toMap
-      val ratios = primary.flatMap { case (k, v, _) =>
+      val ratios = primary.flatMap { case (k, v, _, _) =>
         secMap.get(k).filter(_ > 0).map(s => k -> f"${v / s}%.2f")
       }
       s""","sf2":"${sf2Dir.get}","queries_sf2":${
-        obj(sec.map { case (k, v, _) => k -> v.toString })
+        obj(sec.map { case (k, v, _, _) => k -> v.toString })
       },"scale_ratio":${obj(ratios)}"""
     }.getOrElse("")
     val missingJson = baselineMissing.map("\"" + _ + "\"").mkString(",")
