@@ -49,7 +49,7 @@ object SparkEntry {
     * kernels. Linear in |pairs| (items are semi-joined to pair members
     * first), so the sf0.1-tractable twin of the quadratic all-pairs
     * DuckDB oracles. */
-  private def setPairInvariants(items: DataFrame, pairs: DataFrame,
+  private[graft] def setPairInvariants(items: DataFrame, pairs: DataFrame,
                                 threshold: Double): DataFrame = {
     val ids = pairs.select(explode(array(col("id_a"), col("id_b")))
       .as("doc_id")).distinct()
@@ -60,7 +60,10 @@ object SparkEntry {
     val it = items.join(ids, Seq("doc_id"), "left_semi").distinct()
       .localCheckpoint()
     val sizes = it.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val e = pairs.select("id_a", "id_b")
+    // distinct: a duplicated input pair would multiply the intersection
+    // join and inflate ninter past na+nb (zero denominator / wrong
+    // jac_ref); the duplicate itself is still caught by distinct_pairs
+    val e = pairs.select("id_a", "id_b").distinct()
     val inter = e
       .join(it.select(col("doc_id").as("id_a"), col("item")), Seq("id_a"))
       .join(it.select(col("doc_id").as("id_b"), col("item")),
@@ -98,7 +101,7 @@ object SparkEntry {
     * output alone — that direction is pinned by the exact WITH RECURSIVE
     * oracles of dedup_cluster / embedding_cluster at oracle SFs and the
     * union-find property spec. */
-  private def clusterInvariants(pairs: DataFrame,
+  private[graft] def clusterInvariants(pairs: DataFrame,
                                 clusters: DataFrame): DataFrame = {
     val lab = clusters.select(col("doc_id"), col("component"))
     val structural = clusters.groupBy(col("component"))
