@@ -1007,6 +1007,29 @@ object SparkEntry {
       Corpus.chunkTokens(T(s, d, "documents"), col("doc_id"), col("text"),
         chunkSize = 30, stride = 20)),
 
+    // Fixed-token-budget shard packing: docs laid out along the
+    // deterministic digest order, shard = starting-offset / budget. The
+    // running total is the scan-tree shape (bucketed window cumsum +
+    // broadcast bucket offsets), never a single-reducer global window —
+    // PlanHygieneSpec pins that engine-wide. ROWS frames pinned on both
+    // engines so RANGE tie semantics can't diverge.
+    "corpus_pack" -> ((s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"))
+      Corpus.packSequences(docs, col("doc_id"), col("n_tok"),
+          budget = 2048, salt = "p", buckets = 32)
+        .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
+          col("shard_id"))
+    }),
+
+    // Deterministic train/val/test assignment: the fold is a pure function
+    // of the doc digest, so no document can migrate between folds across
+    // runs, retries, or engines (leakage-proof split).
+    "corpus_split" -> ((s, d) =>
+      Corpus.foldSplit(T(s, d, "documents"), col("doc_id"),
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), salt = "f")
+        .select(col("doc_id"), col("lang"), col("fold"))),
+
     // Fixed-size deterministic per-stratum sample (digest-ranked
     // reservoir — reproducible under retries/repartitioning, unlike rand).
     "group_sample" -> ((s, d) =>
@@ -2092,6 +2115,34 @@ object SparkEntry {
         |    string_to_array(substr(md5('s' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
         |    (a, b) -> a * 16 + b) AS DOUBLE) / 4294967296.0 < 0.2""".stripMargin,
+
+    "corpus_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |   CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+        |        ELSE len(string_split(trim(text), ' ')) END AS n_tok,
+        |   CAST(list_reduce(list_transform(
+        |     string_to_array(substr(md5('p' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |     c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |     (a, b) -> a * 16 + b) AS DOUBLE) / 4294967296.0 AS u
+        |  FROM documents),
+        | c AS (SELECT doc_id, n_tok, sum(n_tok) OVER (ORDER BY u ASC,
+        |     doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |     AS cum FROM t)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS shard_id
+        |FROM c""".stripMargin,
+
+    "corpus_split" ->
+      """WITH u AS (SELECT doc_id, lang,
+        |   CAST(list_reduce(list_transform(
+        |     string_to_array(substr(md5('f' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |     c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |     (a, b) -> a * 16 + b) AS DOUBLE) / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.9 + 0.05 THEN 'val'
+        |       ELSE 'test' END AS fold
+        |FROM u""".stripMargin,
 
     "group_sample" ->
       """WITH u AS (SELECT doc_id, lang,

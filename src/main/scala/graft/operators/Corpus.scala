@@ -139,6 +139,102 @@ object Corpus {
         col("tfidf"), col("rn").cast("long").as("rank"))
   }
 
+  /** Distributed inclusive prefix sum (running total) of `weight` over the
+    * deterministic total order (`orderU` asc, `id` asc), where `orderU`
+    * must be uniform in [0,1) — e.g. [[hashUniform]]. Appends column `out`
+    * to `df`'s columns.
+    *
+    * The naive formulation — `sum(w) over (order by u)` — is a
+    * SINGLE-REDUCER global window: every row funnels through one task, the
+    * canonical 100 TB scale killer (PlanHygieneSpec bans the shape
+    * engine-wide). This is the scan-tree alternative:
+    *   1. bucket rows by `floor(u * buckets)` — u is uniform, so buckets
+    *      are balanced and bucket ranges are contiguous in the total order;
+    *   2. per-bucket inclusive cumsum (window partitioned by bucket: ≤
+    *      `buckets` balanced, spillable sort groups — never one task);
+    *   3. exclusive bucket offsets from the ≤`buckets`-row totals frame via
+    *      a broadcast theta-join (buckets² pair evals of a tiny frame —
+    *      deliberately NOT a global window, see above);
+    *   4. broadcast the offsets back: total = offset(bucket) + cum-in-bucket.
+    * Size `buckets` so one bucket ≈ one comfortable sort task (rows ×
+    * rowBytes / buckets ≲ a few GB); the offsets join costs buckets² tiny
+    * pair evals, so keep buckets ≲ 10⁴ (a 100 TB corpus at 10⁴ buckets is
+    * ~10 GB per spillable sort group).
+    *
+    * Exact: weights are summed as longs (no float drift at any scale);
+    * frames are pinned ROWS-based so RANGE tie semantics can never differ
+    * between engines. */
+  def runningTotal(df: DataFrame, id: Column, weight: Column, orderU: Column,
+                   buckets: Int = 256,
+                   out: String = "running_total"): DataFrame = {
+    require(buckets > 0, "need buckets > 0")
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .withColumn("__rt_id", id)
+      .withColumn("__rt_u", orderU)
+      .withColumn("__rt_w", weight.cast("long"))
+      .withColumn("__rt_b", floor(col("__rt_u") * buckets).cast("int"))
+    val wIn = Window.partitionBy(col("__rt_b"))
+      .orderBy(col("__rt_u").asc, col("__rt_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = base.withColumn("__rt_cum", sum(col("__rt_w")).over(wIn))
+    val totals = base.groupBy(col("__rt_b"))
+      .agg(sum(col("__rt_w")).as("__rt_tot"))
+    val lower = totals
+      .select(col("__rt_b").as("__rt_lb"), col("__rt_tot"))
+    val offsets = totals.select(col("__rt_b"))
+      .join(broadcast(lower), col("__rt_lb") < col("__rt_b"), "left")
+      .groupBy(col("__rt_b"))
+      .agg(coalesce(sum(col("__rt_tot")), lit(0L)).as("__rt_off"))
+    within.join(broadcast(offsets), Seq("__rt_b"))
+      .withColumn(out, col("__rt_off") + col("__rt_cum"))
+      .drop("__rt_id", "__rt_u", "__rt_w", "__rt_b", "__rt_cum", "__rt_off",
+        "__rt_tot")
+  }
+
+  /** Pack documents into fixed-token-budget training shards: documents are
+    * laid out along the deterministic [[hashUniform]] order and shard
+    * `i` covers running-token offsets `[i*budget, (i+1)*budget)` — a doc's
+    * shard is decided by its STARTING offset, so docs are never split and
+    * shards overshoot the budget by at most one document. One extra column
+    * `shard_id`; the layout (and therefore every shard's contents) is
+    * reproducible across runs, retries, and repartitioning.
+    *
+    * Built on [[runningTotal]], so the scan shape is bucketed/balanced —
+    * no global window. The division is exact as long as total corpus
+    * tokens < 2^53 (double-exact integer range; ~9e15, comfortably above
+    * a 100 TB corpus's ~1e13 tokens). */
+  def packSequences(df: DataFrame, id: Column, nTokens: Column, budget: Long,
+                    salt: String = "", buckets: Int = 256): DataFrame = {
+    require(budget > 0, "need budget > 0")
+    runningTotal(df, id, nTokens, hashUniform(id, salt), buckets,
+      out = "__ps_cum")
+      .withColumn("shard_id",
+        floor((col("__ps_cum") - nTokens.cast("long")) / lit(budget.toDouble))
+          .cast("long"))
+      .drop("__ps_cum")
+  }
+
+  /** Deterministic train/val/test fold assignment: fold boundaries are the
+    * running sums of `folds` rates over [0,1), and a row lands in the first
+    * fold whose cumulative cut exceeds its [[hashUniform]] draw. Appends a
+    * `fold` column. Same digest-not-RNG rationale as [[hashSample]]: the
+    * split survives repartitioning, retries, and engine changes — a doc
+    * can never migrate from test into train between runs. */
+  def foldSplit(df: DataFrame, id: Column, folds: Seq[(String, Double)],
+                salt: String = ""): DataFrame = {
+    require(folds.nonEmpty && folds.forall(_._2 > 0.0),
+      "need non-empty folds with positive rates")
+    require(math.abs(folds.map(_._2).sum - 1.0) < 1e-9,
+      "fold rates must sum to 1")
+    val u = hashUniform(id, salt)
+    val cuts = folds.map(_._2).scanLeft(0.0)(_ + _).tail
+    val expr = folds.init.zip(cuts.init).foldRight(lit(folds.last._1): Column) {
+      case (((name, _), cut), acc) => when(u < lit(cut), lit(name)).otherwise(acc)
+    }
+    df.withColumn("fold", expr)
+  }
+
   /** Split each document's token stream into fixed-size windows: one row
     * per (doc, chunk) with the chunk text, its token count, and the chunk
     * index. `stride` < `chunkSize` yields overlapping windows (the usual
