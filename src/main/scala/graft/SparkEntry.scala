@@ -1022,6 +1022,19 @@ object SparkEntry {
           col("shard_id"))
     }),
 
+    // Eval-set decontamination: training docs sharing any word 4-gram
+    // with the held-out eval slice (doc_id % 97 == 0) are dropped. Eval
+    // n-grams broadcast; training text never shuffles — matched ids only.
+    // (n=4 instead of the canonical 13 because the synthetic corpus'
+    // ~40-word vocabulary makes longer grams collision-free.)
+    "decontaminate" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Corpus.decontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 97 === 0), col("text"), n = 4)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // Deterministic train/val/test assignment: the fold is a pure function
     // of the doc digest, so no document can migrate between folds across
     // runs, retries, or engines (leakage-proof split).
@@ -2131,6 +2144,19 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
         |  CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS shard_id
         |FROM c""".stripMargin,
+
+    "decontaminate" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS toks
+        |           FROM documents),
+        | g AS (SELECT doc_id, unnest(list_transform(
+        |     generate_series(1, len(toks) - 3),
+        |     i -> array_to_string(toks[i:i+3], ' '))) AS gram FROM d),
+        | ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        | bad AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
+        |         WHERE g.doc_id % 97 <> 0)
+        |SELECT doc_id, lang FROM d
+        |WHERE doc_id % 97 <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
 
     "corpus_split" ->
       """WITH u AS (SELECT doc_id, lang,

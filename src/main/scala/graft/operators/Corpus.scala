@@ -235,6 +235,35 @@ object Corpus {
     df.withColumn("fold", expr)
   }
 
+  /** Eval-set decontamination — drop every training document that shares
+    * at least one word `n`-gram with a held-out evaluation corpus, so
+    * benchmark answers can't leak into the training set (the GPT-3
+    * appendix-C / Gopher prep step; n=13 is the canonical window).
+    *
+    * Scale shape: the EVAL side collapses to distinct n-grams — bounded by
+    * the eval corpus, which is orders of magnitude smaller than training —
+    * and broadcasts. The TRAINING side explodes to (id, gram) pairs that
+    * left-semi-join the broadcast locally (no shuffle of the exploded
+    * frame), and only the matched ids — typically a tiny fraction — reach
+    * the distinct + anti-join. Training text crosses the wire zero times;
+    * the anti-join shuffles ids only (AQE turns it into a broadcast when
+    * the contaminated set is small, which it virtually always is). */
+  def decontaminate(train: DataFrame, id: Column, text: Column,
+                    eval: DataFrame, evalText: Column,
+                    n: Int = 13): DataFrame = {
+    require(n > 0, "need n > 0")
+    val evalGrams = eval
+      .select(explode(TextFunctions.wordNGrams(evalText, n)).as("__dc_g"))
+      .distinct()
+    val contaminated = train
+      .select(id.as("__dc_id"),
+        explode(TextFunctions.wordNGrams(text, n)).as("__dc_g"))
+      .join(broadcast(evalGrams), Seq("__dc_g"), "left_semi")
+      .select(col("__dc_id"))
+      .distinct()
+    train.join(contaminated, id === col("__dc_id"), "left_anti")
+  }
+
   /** Split each document's token stream into fixed-size windows: one row
     * per (doc, chunk) with the chunk text, its token count, and the chunk
     * index. `stride` < `chunkSize` yields overlapping windows (the usual

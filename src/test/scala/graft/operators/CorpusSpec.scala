@@ -135,6 +135,36 @@ class CorpusSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("decontaminate drops exactly the docs sharing an eval n-gram") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),      // contains planted 3-gram
+      (2L, "zeta eta theta iota kappa"),           // clean
+      (3L, "one two beta gamma delta three"),      // planted 3-gram mid-doc
+      (4L, "beta gamma epsilon delta"),            // shares words, NOT the 3-gram
+      (5L, "xx"),                                  // shorter than n
+      (6L, "")                                     // empty
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "prefix beta gamma delta suffix"))
+      .toDF("doc_id", "text")
+    val kept = Corpus.decontaminate(train, col("doc_id"), col("text"),
+        eval, col("text"), n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 5L, 6L))
+    // n longer than every doc: nothing matches, nothing dropped
+    val all = Corpus.decontaminate(train, col("doc_id"), col("text"),
+        eval, col("text"), n = 40)
+      .select("doc_id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("decontaminate broadcasts the eval grams (training text never shuffles)") {
+    val plan = Corpus.decontaminate(docs, col("doc_id"), col("text"),
+        docs.filter(col("doc_id") < 10), col("text"), n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"eval-gram semi join must broadcast:\n$plan")
+  }
+
   test("corpus operators stay shuffle-free (no Exchange in the plan)") {
     val plans = Seq(
       Corpus.hashSample(docs, col("doc_id"), 0.2, "s"),
