@@ -994,13 +994,16 @@ object SparkEntry {
           defaultRate = 0.05, salt = "s")
         .select(col("doc_id"), col("lang"))),
 
+    // Weighted training mix with upsampling: books at rate 2.5 = two full
+    // epochs + a deterministic half-sample (epoch 2); web at 0.3 = one
+    // fractional epoch. Pure per-source filters + union — no shuffle.
     "corpus_mix" -> ((s, d) => {
       val docs = T(s, d, "documents")
       Corpus.mix(Seq(
           ("web", docs, 0.3),
-          ("books", docs.filter(col("doc_id") % 2 === 0), 0.6)),
+          ("books", docs.filter(col("doc_id") % 2 === 0), 2.5)),
         col("doc_id"))
-        .select(col("doc_id"), col("lang"), col("source"))
+        .select(col("doc_id"), col("lang"), col("source"), col("epoch"))
     }),
 
     "doc_chunk" -> ((s, d) =>
@@ -2193,18 +2196,22 @@ object SparkEntry {
       """WITH u AS (
         |  SELECT doc_id, lang,
         |    CAST(list_reduce(list_transform(
-        |      string_to_array(substr(md5('web' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |      string_to_array(substr(md5('web#0' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
         |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
         |      (a, b) -> a * 16 + b) AS DOUBLE) / 4294967296.0 AS u_web,
         |    CAST(list_reduce(list_transform(
-        |      string_to_array(substr(md5('books' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |      string_to_array(substr(md5('books#2' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
         |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
         |      (a, b) -> a * 16 + b) AS DOUBLE) / 4294967296.0 AS u_books
         |  FROM documents)
-        |SELECT doc_id, lang, 'web' AS source FROM u WHERE u_web < 0.3
+        |SELECT doc_id, lang, 'web' AS source, 0 AS epoch FROM u WHERE u_web < 0.3
         |UNION ALL
-        |SELECT doc_id, lang, 'books' AS source FROM u
-        |WHERE doc_id % 2 = 0 AND u_books < 0.6""".stripMargin,
+        |SELECT doc_id, lang, 'books' AS source, 0 AS epoch FROM u WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, lang, 'books' AS source, 1 AS epoch FROM u WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, lang, 'books' AS source, 2 AS epoch FROM u
+        |WHERE doc_id % 2 = 0 AND u_books < 0.5""".stripMargin,
 
     "tfidf_topterms" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks

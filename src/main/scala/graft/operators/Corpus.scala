@@ -93,16 +93,33 @@ object Corpus {
       .drop("__gs_id", "__gs_s", "__gs_u", "__gs_salt", "__gs_prn", "__gs_rn")
   }
 
-  /** Weighted mixture of corpora: each source contributes a deterministic
-    * hash-sample at its rate, tagged with its name. The salt is the source
-    * name, so one document appearing in several sources draws independent
-    * coins. */
+  /** Weighted mixture of corpora: each source contributes at its rate,
+    * tagged with its name and an `epoch` counter. Rates above 1 UPSAMPLE
+    * (the usual treatment of high-quality sources in a training mix):
+    * rate 2.5 emits two full copies (epochs 0 and 1) plus a deterministic
+    * hash-sample of half the source (epoch 2). Fractional draws are
+    * salted by source name and epoch, so one document appearing in
+    * several sources — or sampled for the fractional epoch — draws
+    * independent coins. Pure union of per-source filters: no shuffle,
+    * and every epoch's membership is reproducible across runs/retries. */
   def mix(sources: Seq[(String, DataFrame, Double)],
           id: Column): DataFrame = {
     require(sources.nonEmpty)
+    require(sources.forall(_._3 >= 0.0), "rates must be >= 0")
     sources.map { case (name, df, rate) =>
-      hashSample(df, id, rate, salt = name)
-        .withColumn("source", lit(name))
+      val whole = rate.toInt
+      val frac = rate - whole
+      val epochs =
+        (0 until whole).map(e => df.withColumn("epoch", lit(e))) ++
+          (if (frac > 0)
+            Seq(hashSample(df, id, frac, salt = s"$name#$whole")
+              .withColumn("epoch", lit(whole)))
+          else Nil)
+      // rate 0: a source can be mixed out entirely (empty contribution)
+      val tagged =
+        if (epochs.isEmpty) df.filter(lit(false)).withColumn("epoch", lit(0))
+        else epochs.reduce(_ unionByName _)
+      tagged.withColumn("source", lit(name))
     }.reduce(_ unionByName _)
   }
 

@@ -39,6 +39,27 @@ class CorpusSpec extends SparkSpecBase {
     assert(math.abs(m("b") - 500L) < 80, s"got ${m("b")}")
   }
 
+  test("mix upsamples rates above 1 as whole epochs + fractional draw") {
+    val m = Corpus.mix(Seq(("a", docs, 2.5)), col("doc_id"))
+    val byEpoch = m.groupBy("epoch").count()
+      .as[(Int, Long)].collect().toMap
+    assert(byEpoch(0) == 1000L && byEpoch(1) == 1000L, byEpoch.toString)
+    assert(math.abs(byEpoch(2) - 500L) < 80, byEpoch.toString)
+    // full epochs carry every doc; the fractional epoch is a strict,
+    // deterministic subset
+    val e2 = m.filter(col("epoch") === 2)
+      .select("doc_id").as[Long].collect().toSet
+    val again = Corpus.mix(Seq(("a", docs.repartition(9), 2.5)),
+        col("doc_id"))
+      .filter(col("epoch") === 2).select("doc_id").as[Long].collect().toSet
+    assert(e2 == again, "fractional epoch must be partitioning-stable")
+    // rate 0 mixes a source out without breaking the union
+    val z = Corpus.mix(Seq(("a", docs, 1.0), ("gone", docs, 0.0)),
+      col("doc_id"))
+    assert(z.filter(col("source") === "gone").count() == 0)
+    assert(z.count() == 1000L)
+  }
+
   test("chunkTokens windows with overlap, last chunk short") {
     val one = Seq((7L, "en", (1 to 25).map(i => s"t$i").mkString(" ")))
       .toDF("doc_id", "lang", "text")
