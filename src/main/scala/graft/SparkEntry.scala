@@ -1139,6 +1139,39 @@ object SparkEntry {
     // gate → exact dedup (drop non-canonical members) → deterministic 50%
     // sample → token-window chunking — as ONE declarative plan, oracled
     // end-to-end. Every stage is shuffle-free except the dedup anti-join.
+    // Flagship #2: the COMPLETE training-data prep chain as one plan —
+    // quality gate → eval-set decontamination → exact dedup (canonical
+    // kept) → leakage-proof fold split → token-budget shard packing of
+    // the train fold. Every stage is the scale-shaped operator (broadcast
+    // eval grams, bounded dedup agg state, digest folds, scan-tree pack),
+    // and the whole chain is one DuckDB-oracled dataflow.
+    "pipeline_full" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val eval = docs.filter(col("doc_id") % 97 === 0)
+      val pool = docs.filter(col("doc_id") % 97 =!= 0)
+      val gated = pool.filter(
+        TextFunctions.qualityScore(col("text")) >= 0.5)
+      val cleaned = Corpus.decontaminate(gated, col("doc_id"), col("text"),
+        eval, col("text"), n = 4)
+      val dupMembers = Dedup.exactDuplicates(cleaned, col("doc_id"),
+        col("text")).select(col("doc_id"))
+      val deduped = cleaned.join(dupMembers, Seq("doc_id"), "left_anti")
+      val train = Corpus.foldSplit(deduped, col("doc_id"),
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), salt = "pf")
+        .filter(col("fold") === "train")
+      // materialize the 16-byte (id, n_tok) frame once: packSequences'
+      // scan-tree references its input from three plan branches, and
+      // re-evaluating the whole quality→decontaminate→dedup chain per
+      // branch would triple the expensive part of the pipeline
+      val withTok = train.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"))
+        .localCheckpoint()
+      Corpus.packSequences(withTok, col("doc_id"), col("n_tok"),
+          budget = 2048, salt = "pk", buckets = 16)
+        .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
+          col("shard_id"))
+    }),
+
     "pipeline_e2e" -> ((s, d) => {
       val docs = T(s, d, "documents")
       val gated = docs.filter(
@@ -2318,6 +2351,56 @@ object SparkEntry {
         |               cand_id ASC) AS rank
         |  FROM d)
         |WHERE rank <= 5""".stripMargin,
+
+    "pipeline_full" ->
+      """WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks
+        |           FROM documents),
+        | b AS (SELECT doc_id, text, toks,
+        |   CAST(len(toks) AS DOUBLE) AS n_tok_d,
+        |   CAST(length(text) AS DOUBLE) AS n_char_d FROM t),
+        | gated AS (SELECT doc_id, text, toks FROM b
+        |  WHERE doc_id % 97 <> 0 AND round(
+        |   (CASE WHEN n_tok_d >= 10 AND n_tok_d <= 1000 THEN 1.0 ELSE 0.0 END) * 0.25
+        |   + (CASE WHEN (n_char_d - (n_tok_d - 1)) / n_tok_d >= 2.0
+        |           AND (n_char_d - (n_tok_d - 1)) / n_tok_d <= 12.0
+        |      THEN 1.0 ELSE 0.0 END) * 0.25
+        |   + least(len(list_filter(toks, x -> list_contains(
+        |       ['the','a','of','and','to','in','is','that','it','for'], x)))
+        |       / n_tok_d * 5.0, 1.0) * 0.2
+        |   + len(list_distinct(toks)) / n_tok_d * 0.3, 4) >= 0.5),
+        | g AS (SELECT doc_id, unnest(list_transform(
+        |     generate_series(1, len(toks) - 3),
+        |     i -> array_to_string(toks[i:i+3], ' '))) AS gram FROM gated),
+        | ev AS (SELECT DISTINCT unnest(list_transform(
+        |     generate_series(1, len(toks) - 3),
+        |     i -> array_to_string(toks[i:i+3], ' '))) AS gram FROM t
+        |   WHERE doc_id % 97 = 0),
+        | bad AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)),
+        | dc AS (SELECT doc_id, text, toks FROM gated
+        |   WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+        | dup AS (SELECT doc_id FROM (
+        |   SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canon,
+        |          count(*) OVER (PARTITION BY md5(text)) AS c
+        |   FROM dc) WHERE c > 1 AND doc_id <> canon),
+        | train AS (SELECT doc_id,
+        |   CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+        |        ELSE len(toks) END AS n_tok,
+        |   CAST(list_reduce(list_transform(
+        |     string_to_array(substr(md5('pk' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |     c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |     (a, b) -> a * 16 + b) AS DOUBLE) / 4294967296.0 AS u_p
+        |  FROM dc
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+        |    AND CAST(list_reduce(list_transform(
+        |      string_to_array(substr(md5('pf' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS DOUBLE) / 4294967296.0 < 0.9),
+        | c AS (SELECT doc_id, n_tok, sum(n_tok) OVER (ORDER BY u_p ASC,
+        |     doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |     AS cum FROM train)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS shard_id
+        |FROM c""".stripMargin,
 
     "pipeline_e2e" ->
       """WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks

@@ -180,7 +180,9 @@ object Corpus {
     *
     * Exact: weights are summed as longs (no float drift at any scale);
     * frames are pinned ROWS-based so RANGE tie semantics can never differ
-    * between engines. */
+    * between engines. `df` is referenced by three plan branches and
+    * re-evaluates per branch (each column-pruned): fine over a raw scan;
+    * persist/localCheckpoint an expensive upstream chain first. */
   def runningTotal(df: DataFrame, id: Column, weight: Column, orderU: Column,
                    buckets: Int = 256,
                    out: String = "running_total"): DataFrame = {
@@ -195,6 +197,16 @@ object Corpus {
       .orderBy(col("__rt_u").asc, col("__rt_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val within = base.withColumn("__rt_cum", sum(col("__rt_w")).over(wIn))
+    // Totals aggregate `base` directly: the partial sum runs map-side, so
+    // this branch's exchange carries at most `buckets` rows per map
+    // partition. The price of the DAG-as-tree planning is that `df` is
+    // re-evaluated once per branch (window / totals / bucket-ids), each
+    // branch column-pruned to what it needs — cheap for a parquet scan
+    // input. (Forcing the branches onto one shared exchange doesn't
+    // survive Catalyst: column pruning specializes each branch's
+    // projection, so the exchanges are never identical.) Callers whose
+    // input is an expensive operator chain should persist or
+    // localCheckpoint it first — see the pipeline_full query.
     val totals = base.groupBy(col("__rt_b"))
       .agg(sum(col("__rt_w")).as("__rt_tot"))
     val lower = totals
