@@ -186,6 +186,36 @@ class CorpusSpec extends SparkSpecBase {
       s"eval-gram semi join must broadcast:\n$plan")
   }
 
+  test("decontaminate composes with a streaming source via foreachBatch") {
+    // decontaminate's exact two-pass shape (matched ids -> anti join) is a
+    // stream-STREAM anti join if applied to a streaming frame directly,
+    // which Spark rejects; the supported composition for per-batch exact
+    // ops is foreachBatch — the same pattern GraftPipeline uses for sinks.
+    // The operator code runs UNCHANGED on each micro-batch.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = MemoryStream[(Long, String)](spark)
+    val streamDocs = s.toDF().toDF("doc_id", "text")
+    val eval = Seq((100L, "prefix beta gamma delta suffix"))
+      .toDF("doc_id", "text")
+    val kept = scala.collection.mutable.Set[Long]()
+    val q = streamDocs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        kept.synchronized {
+          kept ++= Corpus.decontaminate(batch, col("doc_id"), col("text"),
+              eval, col("text"), n = 3)
+            .select("doc_id").collect().map(_.getLong(0))
+        }: Unit
+      }
+      .start()
+    try {
+      s.addData(
+        (1L, "alpha beta gamma delta epsilon"), // contaminated
+        (2L, "zeta eta theta iota kappa"))      // clean
+      q.processAllAvailable()
+      assert(kept.synchronized(kept.toSet) == Set(2L))
+    } finally q.stop()
+  }
+
   test("corpus operators stay shuffle-free (no Exchange in the plan)") {
     val plans = Seq(
       Corpus.hashSample(docs, col("doc_id"), 0.2, "s"),
