@@ -24,21 +24,36 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   private def timeSuite(spark: SparkSession, sfDir: String,
-                        shuffleBytes: AtomicLong)
+                        shuffleBytes: AtomicLong, reps: Int)
   : Seq[(String, Double, Long, Boolean)] = {
     // warm up this SF's parquet footers outside timing
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val s0 = shuffleBytes.get()
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-      val secs = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(50) // let async listener events drain for attribution
-      (name, secs, shuffleBytes.get() - s0, ok)
+      // min over `reps` materializations: a transient contention spike
+      // (driver co-tenancy, GC storm from the previous query's cleanup)
+      // otherwise lands on whichever query runs during it and reads as a
+      // 10-25x super-linear outlier in the scale-ratio column. The min of
+      // two runs is the steady-state cost; shuffle bytes are attributed
+      // from the first run only (the plan is deterministic).
+      var best = Double.MaxValue
+      var bytes = 0L
+      var ok = true
+      var r = 0
+      while (r < reps && ok) {
+        val s0 = shuffleBytes.get()
+        val t0 = System.nanoTime()
+        ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
+        val secs = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(50) // let async listener events drain for attribution
+        if (r == 0) bytes = shuffleBytes.get() - s0
+        best = math.min(best, secs)
+        r += 1
+      }
+      (name, best, bytes, ok)
     }
   }
 
@@ -77,8 +92,9 @@ object Bench {
     // the scale ratio compares warm-vs-warm instead of charging the whole
     // cold-compile cost to the primary (which inflated ratios past the
     // super-linear threshold for cheap queries).
-    val secondary = sf2Dir.map(d => timeSuite(spark, d, shuffleBytes))
-    val primary = timeSuite(spark, sfDir, shuffleBytes)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    val secondary = sf2Dir.map(d => timeSuite(spark, d, shuffleBytes, reps))
+    val primary = timeSuite(spark, sfDir, shuffleBytes, reps)
 
     val qs = obj(primary.map { case (k, v, _, _) => k -> v.toString })
     val nowMb = primary.map { case (k, _, b, _) => k -> (b / 10486) / 100.0 }
