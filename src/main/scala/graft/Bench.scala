@@ -39,6 +39,7 @@ object Bench {
       var bytes = 0L
       var ok = true
       var r = 0
+      var lastSecs = 0.0
       while (r < reps && ok) {
         val s0 = shuffleBytes.get()
         val t0 = System.nanoTime()
@@ -47,13 +48,15 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
           }
-        val secs = (System.nanoTime() - t0) / 1e9
+        lastSecs = (System.nanoTime() - t0) / 1e9
         Thread.sleep(50) // let async listener events drain for attribution
         if (r == 0) bytes = shuffleBytes.get() - s0
-        best = math.min(best, secs)
+        // a failed rep's fast-abort wall-clock must not become the min —
+        // only successful materializations are steady-state measurements
+        if (ok) best = math.min(best, lastSecs)
         r += 1
       }
-      (name, best, bytes, ok)
+      (name, if (best == Double.MaxValue) lastSecs else best, bytes, ok)
     }
   }
 

@@ -101,11 +101,19 @@ object Corpus {
     * salted by source name and epoch, so one document appearing in
     * several sources — or sampled for the fractional epoch — draws
     * independent coins. Pure union of per-source filters: no shuffle,
-    * and every epoch's membership is reproducible across runs/retries. */
+    * and every epoch's membership is reproducible across runs/retries.
+    *
+    * Compatibility note: the fractional draw's salt is `"$name#$whole"`
+    * (epoch-qualified) as of the upsampling change — a mix pinned under
+    * the older plain-`name` salt selects a different (equally valid)
+    * fractional subset when re-run. */
   def mix(sources: Seq[(String, DataFrame, Double)],
           id: Column): DataFrame = {
     require(sources.nonEmpty)
-    require(sources.forall(_._3 >= 0.0), "rates must be >= 0")
+    // finite, sane epoch counts only: Infinity.toInt saturates to
+    // Int.MaxValue and would build ~2^31 unioned plan copies
+    require(sources.forall(s => s._3 >= 0.0 && s._3 <= 128.0),
+      "rates must be in [0, 128]")
     sources.map { case (name, df, rate) =>
       val whole = rate.toInt
       val frac = rate - whole
@@ -217,8 +225,7 @@ object Corpus {
       .agg(coalesce(sum(col("__rt_tot")), lit(0L)).as("__rt_off"))
     within.join(broadcast(offsets), Seq("__rt_b"))
       .withColumn(out, col("__rt_off") + col("__rt_cum"))
-      .drop("__rt_id", "__rt_u", "__rt_w", "__rt_b", "__rt_cum", "__rt_off",
-        "__rt_tot")
+      .drop("__rt_id", "__rt_u", "__rt_w", "__rt_b", "__rt_cum", "__rt_off")
   }
 
   /** Pack documents into fixed-token-budget training shards: documents are

@@ -39,6 +39,17 @@ class PlanHygieneSpec extends SparkSpecBase {
     }
   }
 
+  test("pipeline_full's prep chain stays plan-visible through the cache") {
+    // the flagship materializes its (id, n_tok) frame with persist, NOT
+    // localCheckpoint: a checkpoint would truncate lineage to a bare
+    // 'Scan ExistingRDD' and silently exempt the whole
+    // quality->decontaminate->dedup chain from the two whole-inventory
+    // guards below
+    val p = plan("pipeline_full")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"pipeline_full's upstream stages vanished from the plan:\n$p")
+  }
+
   test("no single-partition global windows anywhere (scale bottleneck)") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
