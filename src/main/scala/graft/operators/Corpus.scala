@@ -6,7 +6,15 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
 /** Corpus-preparation operators for a large-scale training-data pipeline:
-  * deterministic sampling, weighted corpus mixing, and document chunking.
+  * deterministic sampling, weighted corpus mixing with epoch upsampling,
+  * train/val/test fold splitting, document chunking, TF-IDF weighting,
+  * distributed prefix scan + token-budget shard packing, and eval-set
+  * n-gram decontamination.
+  *
+  * Reference scope note: the reference library treats records as opaque
+  * bytes and has no corpus or relational surface (kafka-workers
+  * README.md:24); these operators belong to the training-data-pipeline
+  * extension of the build brief.
   *
   * Scale design:
   *  - Sampling is HASH-based, not `rand()`-based. `rand()` in Spark is
