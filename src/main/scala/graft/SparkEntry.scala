@@ -980,6 +980,58 @@ object SparkEntry {
         centroidStride = 25, nProbe = 3, k = 5)
     }),
 
+    // Hybrid retrieval: a lexical ranker (keyword-overlap evidence) and a
+    // vector ranker (codegen cosine) fused by reciprocal-rank fusion
+    // (RRF, Cormack et al. 2009) — the standard two-arm retrieval
+    // composition. Both arms rank inside per-query window partitions
+    // (Spark pushes the rank<=k filter down as a partial
+    // WindowGroupLimit, so the shuffle carries at most k rows per
+    // partition per query); the fusion is an id-keyed full join over the
+    // two tiny top-k frames. RRF terms 1/(60+rank) are exact IEEE doubles
+    // of integer ranks, so the fusion scores hash-match across engines.
+    "hybrid_search" -> ((s, d) => {
+      import s.implicits._
+      val docs = T(s, d, "documents")
+      val emb = T(s, d, "embeddings")
+      val qk = Seq((0, Seq("spark", "query")), (1, Seq("stream", "batch")),
+        (2, Seq("window", "table"))).toDF("query_id", "kws")
+      val wl = Window.partitionBy(col("query_id"))
+        .orderBy(col("hits").desc, col("doc_id").asc)
+      val lr = docs
+        .select(col("doc_id"), TextFunctions.tokenSet(col("text")).as("ts"))
+        .crossJoin(broadcast(qk))
+        .select(col("query_id"), col("doc_id"),
+          size(array_intersect(col("ts"), col("kws"))).as("hits"))
+        .withColumn("lrank", row_number().over(wl))
+        .filter(col("lrank") <= 20)
+        .select(col("query_id"), col("doc_id"), col("lrank"))
+      val qv = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").cast("int").as("query_id"),
+          col("embedding").as("qv"))
+      val wv = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("doc_id").asc)
+      val vr = emb.filter(col("vec_id") < 500)
+        .select(col("vec_id").as("doc_id"), col("embedding").as("cv"))
+        .crossJoin(broadcast(qv))
+        .select(col("query_id"), col("doc_id"),
+          round(GraftFunctions.cosineSimilarity(col("qv"), col("cv")), 4)
+            .as("cos"))
+        .withColumn("vrank", row_number().over(wv))
+        .filter(col("vrank") <= 20)
+        .select(col("query_id"), col("doc_id"), col("vrank"))
+      val wf = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+      lr.join(vr, Seq("query_id", "doc_id"), "full")
+        .select(col("query_id"), col("doc_id"),
+          (coalesce(lit(1.0) / (lit(60) + col("lrank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("vrank")), lit(0.0)))
+            .as("rrf"))
+        .withColumn("rank", row_number().over(wf))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("doc_id"),
+          round(col("rrf"), 6).as("rrf"), col("rank").cast("long").as("rank"))
+    }),
+
     // ---- corpus preparation (north star) -------------------------------
     // Deterministic hash sampling: stable under retries/repartitioning,
     // no shuffle, exactly reproducible in the oracle (md5-derived uniform).
@@ -2278,6 +2330,41 @@ object SparkEntry {
         |   AS chunk_text,
         | CAST(least(30, n_tok - start) AS INT) AS chunk_len
         |FROM c""".stripMargin,
+
+    "hybrid_search" ->
+      """WITH kw AS (SELECT * FROM (VALUES (0, ['spark','query']),
+        |    (1, ['stream','batch']), (2, ['window','table']))
+        |    AS t(query_id, kws)),
+        | lexbase AS (SELECT k.query_id, d.doc_id,
+        |    len(list_filter(list_distinct(string_split(trim(d.text), ' ')),
+        |        x -> list_contains(k.kws, x))) AS hits
+        |   FROM documents d CROSS JOIN kw k),
+        | lr AS (SELECT query_id, doc_id, rn AS lrank FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY hits DESC, doc_id ASC) AS rn
+        |    FROM lexbase) WHERE rn <= 20),
+        | x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |       CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        | dotp AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+        |     sum(q.v * c.v) AS dot, sum(q.v * q.v) AS nq,
+        |     sum(c.v * c.v) AS nc
+        |   FROM x q JOIN x c ON q.i = c.i
+        |   WHERE q.vec_id < 3 AND c.vec_id < 500 GROUP BY 1, 2),
+        | vscored AS (SELECT CAST(query_id AS INT) AS query_id, doc_id,
+        |    round(dot / (sqrt(nq) * sqrt(nc)), 4) AS cos FROM dotp),
+        | vr AS (SELECT query_id, doc_id, rn AS vrank FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS rn
+        |    FROM vscored) WHERE rn <= 20),
+        | fused AS (SELECT query_id, doc_id,
+        |    coalesce(CAST(1.0 AS DOUBLE) / (60 + lrank), 0)
+        |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + vrank), 0) AS rrf
+        |   FROM lr FULL JOIN vr USING (query_id, doc_id))
+        |SELECT query_id, doc_id, round(rrf, 6) AS rrf,
+        |  CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT query_id, doc_id, rrf, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rn
+        |  FROM fused) WHERE rn <= 10""".stripMargin,
 
     "similarity_topk" ->
       """WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
