@@ -17,15 +17,34 @@ import org.apache.spark.sql.SparkSession
   *    number that actually predicts 100 TB behavior — a plan regression
   *    (lost broadcast, un-pruned scan feeding an exchange) shows up here
   *    as data even when small-SF wall-clock hides it;
+  *  - per-query SPILL bytes + PEAK execution memory: the complementary
+  *    signal — unbounded agg/window state (the collect_list class of bug)
+  *    surfaces as spill and peak-memory growth before it moves a single
+  *    shuffle byte;
   *  - a second, smaller scale factor and the per-query time ratio between
   *    the two: linear queries land well under the data ratio (fixed
   *    overhead dominates), super-linear queries stick out immediately.
+  *
+  * Shuffle and spill are both gated against committed per-SF baselines
+  * (bench_baseline/<sf>.{shuffle,spill}.json): >2x growth on a query
+  * moving >= 1 MB is flagged in the output JSON.
   */
 object Bench {
 
+  /** Task-metric accumulation across the listener thread: sums for the
+    * delta-attributed meters, a max for peak memory (reset per query —
+    * a delta is meaningless for a max). */
+  private final class Meters {
+    val shuffle = new AtomicLong(0)
+    val spill = new AtomicLong(0)
+    val peak = new AtomicLong(0)
+  }
+
+  private final case class QStat(name: String, secs: Double, shuffleB: Long,
+                                 spillB: Long, peakB: Long, ok: Boolean)
+
   private def timeSuite(spark: SparkSession, sfDir: String,
-                        shuffleBytes: AtomicLong, reps: Int)
-  : Seq[(String, Double, Long, Boolean)] = {
+                        meters: Meters, reps: Int): Seq[QStat] = {
     // warm up this SF's parquet footers outside timing
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -33,35 +52,101 @@ object Bench {
       // (driver co-tenancy, GC storm from the previous query's cleanup)
       // otherwise lands on whichever query runs during it and reads as a
       // 10-25x super-linear outlier in the scale-ratio column. The min of
-      // two runs is the steady-state cost; shuffle bytes are attributed
-      // from the first run only (the plan is deterministic).
+      // two runs is the steady-state cost; shuffle/spill bytes are
+      // attributed from the first run only (the plan is deterministic).
       var best = Double.MaxValue
-      var bytes = 0L
-      var ok = true
-      var r = 0
+      var shuffleB = 0L
+      var spillB = 0L
+      var okAny = false
+      var failedReps = 0
       var lastSecs = 0.0
-      while (r < reps && ok) {
-        val s0 = shuffleBytes.get()
+      meters.peak.set(0)
+      var r = 0
+      // stop early only when every rep so far failed (a hard-broken query
+      // gains nothing from re-running); a success keeps the loop alive so
+      // a later transient failure can't mask the valid measurement
+      while (r < reps && (okAny || failedReps == 0)) {
+        // Rep independence: queries that persist() (pipeline_full's prep
+        // chain) would otherwise hand rep 2 a fully-cached plan — Spark's
+        // CacheManager keys by canonicalized plan, so an identical rebuild
+        // hits rep 1's cache and "min of reps" measures only the tail of
+        // the dataflow. Clearing also stops those cache entries leaking
+        // into every later query's run.
+        spark.catalog.clearCache()
+        val s0 = meters.shuffle.get()
+        val p0 = meters.spill.get()
         val t0 = System.nanoTime()
-        ok =
+        val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+            System.err.println(s"[bench] $name rep $r failed: ${e.getMessage}"); false
           }
         lastSecs = (System.nanoTime() - t0) / 1e9
         Thread.sleep(50) // let async listener events drain for attribution
-        if (r == 0) bytes = shuffleBytes.get() - s0
+        if (r == 0) {
+          shuffleB = meters.shuffle.get() - s0
+          spillB = meters.spill.get() - p0
+        }
         // a failed rep's fast-abort wall-clock must not become the min —
         // only successful materializations are steady-state measurements
-        if (ok) best = math.min(best, lastSecs)
+        if (ok) { okAny = true; best = math.min(best, lastSecs) }
+        else failedReps += 1
         r += 1
       }
-      (name, if (best == Double.MaxValue) lastSecs else best, bytes, ok)
+      if (okAny && failedReps > 0)
+        System.err.println(
+          s"[bench] $name: $failedReps/$r reps failed (reported time is " +
+            "the min over the successful reps)")
+      QStat(name, if (best == Double.MaxValue) lastSecs else best,
+        shuffleB, spillB, meters.peak.get(), okAny)
     }
   }
 
   private def obj(entries: Seq[(String, String)]): String =
     entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  private def mb(bytes: Long): Double = (bytes / 10486) / 100.0 // MB, 2 dp
+
+  /** Diff `nowMb` against the committed per-SF baseline at `file`: flags
+    * >2x growth on queries moving >= 1 MB, auto-appends newly added
+    * queries (successful runs only), seeds the file on first run at a new
+    * SF or under SPARK_GRAFT_UPDATE_BASELINE=1. Returns (regression JSON
+    * objects, queries that were missing from the baseline). */
+  private def baselineGate(file: java.io.File, nowMb: Seq[(String, Double)],
+                           seedable: Seq[(String, Double)])
+  : (Seq[String], Seq[String]) = {
+    def writeBaseline(m: Seq[(String, Double)]): Unit = {
+      file.getParentFile.mkdirs()
+      java.nio.file.Files.write(file.toPath,
+        obj(m.map { case (k, v) => k -> v.toString }).getBytes)
+    }
+    if (file.isFile && sys.env.get("SPARK_GRAFT_UPDATE_BASELINE").isEmpty) {
+      val txt = new String(java.nio.file.Files.readAllBytes(file.toPath))
+      val prev = """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      if (prev.isEmpty && txt.trim.nonEmpty)
+        System.err.println("[bench] WARNING: baseline file " + file +
+          " is non-empty but parsed to zero entries — this regression " +
+          "gate is effectively DISABLED; re-seed it with " +
+          "SPARK_GRAFT_UPDATE_BASELINE=1")
+      val regs = nowMb.collect {
+        case (q, now) if prev.get(q).exists(p => now >= 1.0 && now > 2.0 * p) =>
+          obj(Seq("query" -> ("\"" + q + "\""),
+            "prev_mb" -> prev(q).toString, "now_mb" -> now.toString))
+      }
+      // queries added since the baseline was seeded: gate them from their
+      // first observed run (auto-append, successful runs only) instead
+      // of leaving them permanently un-gated; surface them in the output
+      val missing = nowMb.collect { case (q, _) if !prev.contains(q) => q }
+      val appendable = seedable.filter { case (q, _) => !prev.contains(q) }
+      if (appendable.nonEmpty && prev.nonEmpty)
+        writeBaseline((prev.toSeq ++ appendable).sortBy(_._1))
+      (regs, missing)
+    } else {
+      writeBaseline(seedable)
+      (Seq.empty[String], Seq.empty[String])
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     // normalized (no trailing slash) so name derivation below can't yield ""
@@ -79,11 +164,15 @@ object Bench {
     val spark = GraftSession.local(cpus, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
-    val shuffleBytes = new AtomicLong(0)
+    val meters = new Meters
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
-        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        if (m != null) {
+          meters.shuffle.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          meters.spill.addAndGet(m.memoryBytesSpilled)
+          meters.peak.accumulateAndGet(m.peakExecutionMemory, math.max(_, _))
+        }
       }
     })
 
@@ -96,70 +185,43 @@ object Bench {
     // cold-compile cost to the primary (which inflated ratios past the
     // super-linear threshold for cheap queries).
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
-    val secondary = sf2Dir.map(d => timeSuite(spark, d, shuffleBytes, reps))
-    val primary = timeSuite(spark, sfDir, shuffleBytes, reps)
+    val secondary = sf2Dir.map(d => timeSuite(spark, d, meters, reps))
+    val primary = timeSuite(spark, sfDir, meters, reps)
 
-    val qs = obj(primary.map { case (k, v, _, _) => k -> v.toString })
-    val nowMb = primary.map { case (k, _, b, _) => k -> (b / 10486) / 100.0 }
-    val sh = obj(nowMb.map { case (k, v) => k -> v.toString }) // MB, 2 dp
-    val total = primary.map(_._2).sum
+    val qs = obj(primary.map(q => q.name -> q.secs.toString))
+    val shuffleMb = primary.map(q => q.name -> mb(q.shuffleB))
+    val spillMb = primary.map(q => q.name -> mb(q.spillB))
+    val peakMb = primary.map(q => q.name -> mb(q.peakB))
+    val total = primary.map(_.secs).sum
     // a failed query's ~0-byte measurement must never become its baseline
     // (it would flag every later HEALTHY run as a regression)
-    val okSet = primary.collect { case (k, _, _, true) => k }.toSet
-    val seedable = nowMb.filter { case (q, _) => okSet(q) }
+    val okSet = primary.collect { case q if q.ok => q.name }.toSet
 
-    // Shuffle-byte regression gate: plan regressions (a lost broadcast, a
-    // dropped pushdown, an un-pruned scan feeding an exchange) surface as
-    // DATA even when small-SF wall-clock hides them. The committed per-SF
-    // baseline (bench_baseline/<sf>.shuffle.json) is diffed on every run;
-    // >2x growth on a query shuffling >=1 MB is flagged in the output.
-    // First run at a new SF seeds the baseline; refresh it deliberately
-    // after an intentional plan change (SPARK_GRAFT_UPDATE_BASELINE=1).
-    val baseFile = new java.io.File(
-      s"bench_baseline/${sfDir.split('/').last}.shuffle.json")
-    def writeBaseline(m: Seq[(String, Double)]): Unit = {
-      baseFile.getParentFile.mkdirs()
-      java.nio.file.Files.write(baseFile.toPath,
-        obj(m.map { case (k, v) => k -> v.toString }).getBytes)
-    }
-    val (regressions: Seq[String], baselineMissing: Seq[String]) =
-      if (baseFile.isFile && sys.env.get("SPARK_GRAFT_UPDATE_BASELINE").isEmpty) {
-        val txt = new String(java.nio.file.Files.readAllBytes(baseFile.toPath))
-        val prev = """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        if (prev.isEmpty && txt.trim.nonEmpty)
-          System.err.println("[bench] WARNING: baseline file " + baseFile +
-            " is non-empty but parsed to zero entries — the shuffle " +
-            "regression gate is effectively DISABLED; re-seed it with " +
-            "SPARK_GRAFT_UPDATE_BASELINE=1")
-        val regs = nowMb.collect {
-          case (q, now) if prev.get(q).exists(p => now >= 1.0 && now > 2.0 * p) =>
-            obj(Seq("query" -> ("\"" + q + "\""),
-              "prev_mb" -> prev(q).toString, "now_mb" -> now.toString))
-        }
-        // queries added since the baseline was seeded: gate them from their
-        // first observed run (auto-append, successful runs only) instead
-        // of leaving them permanently un-gated; surface them in the output
-        val missing = nowMb.collect { case (q, _) if !prev.contains(q) => q }
-        val appendable = seedable.filter { case (q, _) => !prev.contains(q) }
-        if (appendable.nonEmpty && prev.nonEmpty)
-          writeBaseline((prev.toSeq ++ appendable).sortBy(_._1))
-        (regs, missing)
-      } else {
-        writeBaseline(seedable)
-        (Seq.empty[String], Seq.empty[String])
-      }
+    // Regression gates: shuffle bytes catch plan regressions (lost
+    // broadcast, dropped pushdown); spill bytes catch STATE regressions
+    // (unbounded agg buffers, hot windows) that blow memory before they
+    // move shuffle data. Same mechanics for both.
+    val sfName = sfDir.split('/').last
+    val (shuffleRegs, shuffleNew) = baselineGate(
+      new java.io.File(s"bench_baseline/$sfName.shuffle.json"),
+      shuffleMb, shuffleMb.filter { case (q, _) => okSet(q) })
+    val (spillRegs, _) = baselineGate(
+      new java.io.File(s"bench_baseline/$sfName.spill.json"),
+      spillMb, spillMb.filter { case (q, _) => okSet(q) })
+
     val extra = secondary.map { sec =>
-      val secMap = sec.map(t => t._1 -> t._2).toMap
-      val ratios = primary.flatMap { case (k, v, _, _) =>
-        secMap.get(k).filter(_ > 0).map(s => k -> f"${v / s}%.2f")
+      val secMap = sec.map(q => q.name -> q.secs).toMap
+      val ratios = primary.flatMap { q =>
+        secMap.get(q.name).filter(_ > 0).map(s => q.name -> f"${q.secs / s}%.2f")
       }
       s""","sf2":"${sf2Dir.get}","queries_sf2":${
-        obj(sec.map { case (k, v, _, _) => k -> v.toString })
+        obj(sec.map(q => q.name -> q.secs.toString))
       },"scale_ratio":${obj(ratios)}"""
     }.getOrElse("")
-    val missingJson = baselineMissing.map("\"" + _ + "\"").mkString(",")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"shuffle_regressions":[${regressions.mkString(",")}],"baseline_missing":[$missingJson],"sf":"$sfDir"$extra}""")
+    val missingJson = shuffleNew.map("\"" + _ + "\"").mkString(",")
+    def mbObj(m: Seq[(String, Double)]): String =
+      obj(m.map { case (k, v) => k -> v.toString })
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":${mbObj(shuffleMb)},"spill_mb":${mbObj(spillMb)},"peak_mem_mb":${mbObj(peakMb)},"shuffle_regressions":[${shuffleRegs.mkString(",")}],"spill_regressions":[${spillRegs.mkString(",")}],"baseline_missing":[$missingJson],"sf":"$sfDir"$extra}""")
     spark.stop()
   }
 }

@@ -198,7 +198,12 @@ object Corpus {
     * frames are pinned ROWS-based so RANGE tie semantics can never differ
     * between engines. `df` is referenced by three plan branches and
     * re-evaluates per branch (each column-pruned): fine over a raw scan;
-    * persist/localCheckpoint an expensive upstream chain first. */
+    * persist/localCheckpoint an expensive upstream chain first.
+    *
+    * `orderU` must be NON-NULL for every row (and should be ~uniform over
+    * [0,1) for balanced buckets). A null draw has no bucket, so the final
+    * bucket equi-join would silently drop the row — the operator fails
+    * fast per-row instead of losing data. */
   def runningTotal(df: DataFrame, id: Column, weight: Column, orderU: Column,
                    buckets: Int = 256,
                    out: String = "running_total"): DataFrame = {
@@ -208,7 +213,12 @@ object Corpus {
       .withColumn("__rt_id", id)
       .withColumn("__rt_u", orderU)
       .withColumn("__rt_w", weight.cast("long"))
-      .withColumn("__rt_b", floor(col("__rt_u") * buckets).cast("int"))
+      .withColumn("__rt_b",
+        // null orderU would vanish at the offsets equi-join below; fail
+        // fast instead of silently dropping the row (codegen'd branch)
+        when(col("__rt_u").isNull, raise_error(lit(
+          "runningTotal: orderU is null — supply a non-null uniform draw")))
+          .otherwise(floor(col("__rt_u") * buckets)).cast("int"))
     val wIn = Window.partitionBy(col("__rt_b"))
       .orderBy(col("__rt_u").asc, col("__rt_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

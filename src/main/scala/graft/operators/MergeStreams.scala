@@ -26,32 +26,59 @@ object MergeStreams {
     * verify the total order as data, independent of physical row order.
     *
     * NOT a global window: `row_number over (ORDER BY ts)` collapses to a
-    * single partition — the classic 100 TB bottleneck. Instead the union is
-    * range-partitioned + sorted on (ts, tieBreak) — parallel sort, same as
-    * orderBy — and the global sequence comes from zipWithIndex: one extra
-    * count job over the sorted partitions, no single-reducer stage. */
+    * single partition — the classic 100 TB bottleneck. Instead the index
+    * is the engine's own distributed prefix scan (Corpus.runningTotal)
+    * with weight 1: rows are bucketed by a DATA-DERIVED monotone key
+    * (event time normalized into [0,1] by a min/max scalar), the rank is
+    * a bucket-partitioned window cumsum, and cross-bucket offsets
+    * arrive by broadcast theta-join. Cumulative count of 1s along the
+    * (ts, tieBreak) order IS the global row number. Stays entirely in
+    * Tungsten: no RDD hop, no Row round-trip, no DeserializeToObject in
+    * the executed plan (PlanHygieneSpec pins that).
+    *
+    * Why not spark_partition_id() over a range exchange: the offsets
+    * branch necessarily re-executes its sub-plan, and RangePartitioner
+    * seeds its reservoir sampling with the RDD id — a fresh id per
+    * execution — so two executions of the "same" range exchange can place
+    * the same row in different partitions and the pid spaces tear apart.
+    * A bucket computed from the row's own data is identical on every
+    * branch, every retry, every AQE re-plan by construction. */
   def merged(a: DataFrame, b: DataFrame, ts: Column,
              tieBreak: Column): DataFrame =
     mergedN(Seq(a, b), ts, tieBreak)
 
   /** N-way form of [[merged]] — the reference merges an arbitrary set of
     * input partitions/streams into one time-ordered output, not just two
-    * (MergerTest.java drives three inputs). Same scale shape: one UNION
-    * ALL, one range exchange, per-partition sort, zipWithIndex. */
+    * (MergerTest.java drives three inputs). Same scale shape: one scalar
+    * min/max job over the pruned ts column (a 2-double driver action, the
+    * same class as connectedComponents' convergence scalar — a broadcast
+    * 1-row frame instead would be re-planned into every runningTotal
+    * branch, tripling the scans), then one UNION ALL through the prefix
+    * scan: one hash-on-bucket exchange + broadcast offsets.
+    *
+    * `ts` must be non-null (a null has no place in the total order; the
+    * scan fails fast rather than dropping the row). Bucket balance tracks
+    * the time distribution — a heavily clustered timeline concentrates
+    * buckets, which the window absorbs (sort groups spill gracefully);
+    * the ORDER is exact regardless. */
   def mergedN(inputs: Seq[DataFrame], ts: Column,
               tieBreak: Column): DataFrame = {
     require(inputs.nonEmpty, "mergedN needs at least one input")
     val u = inputs.reduce(_ unionByName _)
-    val sorted = u.repartitionByRange(ts, tieBreak)
-      .sortWithinPartitions(ts, tieBreak)
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+
-        org.apache.spark.sql.types.StructField("emit_seq",
-          org.apache.spark.sql.types.LongType, nullable = false))
-    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    sorted.sparkSession.createDataFrame(indexed, schema)
+    val tsd = ts.cast("double")
+    val stats = u.agg(min(tsd), max(tsd)).head()
+    if (stats.isNullAt(0)) // empty (or all-null-ts) input: empty output
+      return u.withColumn("emit_seq", lit(0L)).filter(lit(false))
+    val (lo, hi) = (stats.getDouble(0), stats.getDouble(1))
+    // Monotone [0,1] bucket draw from the row's OWN data: identical on
+    // every plan branch, retry, and AQE re-plan by construction. Double
+    // rounding can merge near-equal timestamps onto one u, so the scan's
+    // id carries the FULL sort key — ties in u fall back to
+    // (ts, tieBreak), keeping the emitted order exactly the contract's
+    // total order.
+    val uCol = if (hi <= lo) lit(0.0) else (tsd - lit(lo)) / lit(hi - lo)
+    Corpus.runningTotal(u, struct(ts, tieBreak), lit(1), uCol,
+      out = "emit_seq")
   }
 
   /** The merge gate as data: per-record high-watermark of the *other*

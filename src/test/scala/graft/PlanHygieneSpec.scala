@@ -50,6 +50,19 @@ class PlanHygieneSpec extends SparkSpecBase {
       s"pipeline_full's upstream stages vanished from the plan:\n$p")
   }
 
+  test("the merge's emission index stays in Tungsten (no RDD hop)") {
+    // mergedN once computed emit_seq via rdd.zipWithIndex: every row
+    // round-tripped UnsafeRow->Row->GenericRow and the flagship merge
+    // exited whole-stage codegen. The scan-tree form must keep the whole
+    // plan columnar: no ExistingRDD scan, no object (de)serialization.
+    for (q <- Seq("merge_streams", "merge_streams_n")) {
+      val p = plan(q)
+      for (bad <- Seq("Scan ExistingRDD", "DeserializeToObject",
+        "SerializeFromObject"))
+        assert(!p.contains(bad), s"$q fell out of Tungsten ($bad):\n$p")
+    }
+  }
+
   test("no single-partition global windows anywhere (scale bottleneck)") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)

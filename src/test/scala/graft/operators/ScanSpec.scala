@@ -57,6 +57,20 @@ class ScanSpec extends SparkSpecBase {
       s"scan degenerated to a single-reducer global window:\n$plan")
   }
 
+  test("runningTotal fails fast on a null order draw instead of dropping it") {
+    val withNull = weighted.withColumn("u",
+      when(col("doc_id") === 7L, lit(null).cast("double"))
+        .otherwise(Corpus.hashUniform(col("doc_id"), "t")))
+    val e = intercept[Exception] {
+      Corpus.runningTotal(withNull, col("doc_id"), col("w"), col("u"))
+        .count()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("orderU") ||
+        Option(e.getCause).exists(_.getMessage.contains("orderU"))),
+      s"expected the runningTotal null-order error, got: ${e.getMessage}")
+  }
+
   test("runningTotal of an empty frame is empty") {
     val got = Corpus.runningTotal(weighted.filter(col("doc_id") < 0),
       col("doc_id"), col("w"), Corpus.hashUniform(col("doc_id"), "t"))
