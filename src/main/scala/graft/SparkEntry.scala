@@ -1032,6 +1032,47 @@ object SparkEntry {
           round(col("rrf"), 6).as("rrf"), col("rank").cast("long").as("rank"))
     }),
 
+    // hybrid_search with the lexical arm a production retrieval pipeline
+    // actually runs: Okapi BM25 (tf saturation + doc-length normalization
+    // + positive idf) instead of raw keyword-hit counts. Same
+    // WindowGroupLimit cap on both arms, same RRF fusion; BM25 is
+    // closed-form, so DuckDB mirrors it exactly (every literal CAST to
+    // DOUBLE there — bare decimals are DECIMAL and diverge from IEEE).
+    "hybrid_search_bm25" -> ((s, d) => {
+      import s.implicits._
+      val docs = T(s, d, "documents")
+      val emb = T(s, d, "embeddings")
+      val qk = Seq((0, Seq("spark", "query")), (1, Seq("stream", "batch")),
+        (2, Seq("window", "table"))).toDF("query_id", "kws")
+      val lr = Corpus.bm25TopK(docs, col("doc_id"), col("text"), qk, k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank").as("lrank"))
+      val qv = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").cast("int").as("query_id"),
+          col("embedding").as("qv"))
+      val wv = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("doc_id").asc)
+      val vr = emb.filter(col("vec_id") < 500)
+        .select(col("vec_id").as("doc_id"), col("embedding").as("cv"))
+        .crossJoin(broadcast(qv))
+        .select(col("query_id"), col("doc_id"),
+          round(GraftFunctions.cosineSimilarity(col("qv"), col("cv")), 4)
+            .as("cos"))
+        .withColumn("vrank", row_number().over(wv))
+        .filter(col("vrank") <= 20)
+        .select(col("query_id"), col("doc_id"), col("vrank"))
+      val wf = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+      lr.join(vr, Seq("query_id", "doc_id"), "full")
+        .select(col("query_id"), col("doc_id"),
+          (coalesce(lit(1.0) / (lit(60) + col("lrank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("vrank")), lit(0.0)))
+            .as("rrf"))
+        .withColumn("rank", row_number().over(wf))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("doc_id"),
+          round(col("rrf"), 6).as("rrf"), col("rank").cast("long").as("rank"))
+    }),
+
     // ---- corpus preparation (north star) -------------------------------
     // Deterministic hash sampling: stable under retries/repartitioning,
     // no shuffle, exactly reproducible in the oracle (md5-derived uniform).
@@ -2343,6 +2384,59 @@ object SparkEntry {
         |    SELECT query_id, doc_id, row_number() OVER (
         |      PARTITION BY query_id ORDER BY hits DESC, doc_id ASC) AS rn
         |    FROM lexbase) WHERE rn <= 20),
+        | x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |       CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        | dotp AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+        |     sum(q.v * c.v) AS dot, sum(q.v * q.v) AS nq,
+        |     sum(c.v * c.v) AS nc
+        |   FROM x q JOIN x c ON q.i = c.i
+        |   WHERE q.vec_id < 3 AND c.vec_id < 500 GROUP BY 1, 2),
+        | vscored AS (SELECT CAST(query_id AS INT) AS query_id, doc_id,
+        |    round(dot / (sqrt(nq) * sqrt(nc)), 4) AS cos FROM dotp),
+        | vr AS (SELECT query_id, doc_id, rn AS vrank FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS rn
+        |    FROM vscored) WHERE rn <= 20),
+        | fused AS (SELECT query_id, doc_id,
+        |    coalesce(CAST(1.0 AS DOUBLE) / (60 + lrank), 0)
+        |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + vrank), 0) AS rrf
+        |   FROM lr FULL JOIN vr USING (query_id, doc_id))
+        |SELECT query_id, doc_id, round(rrf, 6) AS rrf,
+        |  CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT query_id, doc_id, rrf, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rn
+        |  FROM fused) WHERE rn <= 10""".stripMargin,
+
+    // Okapi BM25 closed-form mirror. Every literal is CAST to DOUBLE:
+    // DuckDB parses bare decimals as DECIMAL, whose exact arithmetic
+    // diverges from Spark's IEEE doubles in the last ulps. k1=1.2, b=0.75,
+    // so k1+1=2.2, 1-b=0.25 (the Scala side computes the same doubles).
+    "hybrid_search_bm25" ->
+      """WITH kw AS (SELECT * FROM (VALUES (0, ['spark','query']),
+        |    (1, ['stream','batch']), (2, ['window','table']))
+        |    AS t(query_id, kws)),
+        | qt AS (SELECT query_id, unnest(kws) AS term FROM kw),
+        | toks AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |   FROM documents),
+        | stats AS (SELECT count(*) AS n_docs,
+        |   CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM toks),
+        | tfbase AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+        |   unnest(toks) AS term FROM toks),
+        | tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tfbase
+        |   WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2, 3),
+        | dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | scored AS (SELECT q.query_id, t.doc_id,
+        |     sum(ln((s.n_docs - d.df + CAST(0.5 AS DOUBLE))
+        |           / (d.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        |         * (t.tf * CAST(2.2 AS DOUBLE))
+        |         / (t.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |             + CAST(0.75 AS DOUBLE) * t.dl / s.avgdl))) AS score
+        |   FROM tf t JOIN qt q USING (term) JOIN dfreq d USING (term)
+        |   CROSS JOIN stats s GROUP BY 1, 2),
+        | lr AS (SELECT query_id, doc_id, rn AS lrank FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY round(score, 4) DESC,
+        |      doc_id ASC) AS rn FROM scored) WHERE rn <= 20),
         | x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
         |       CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
         | dotp AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,

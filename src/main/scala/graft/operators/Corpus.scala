@@ -172,6 +172,57 @@ object Corpus {
         col("tfidf"), col("rn").cast("long").as("rank"))
   }
 
+  /** Okapi BM25 top-k document ranking against a small frame of keyword
+    * queries (`query_id`, `kws: array<string>`) — the lexical arm a real
+    * retrieval pipeline runs (Robertson & Zaragoza 2009; idf is the
+    * Lucene-style `ln((N - df + 0.5)/(df + 0.5) + 1)`, always positive).
+    *
+    * Scale shape: the exploded corpus tokens are LEFT-SEMI joined against
+    * the broadcast query-term set before any aggregation, so corpus text
+    * never crosses the wire (the decontaminate shape) — only the tiny
+    * (doc, query-term) tf frame shuffles. df and the corpus stats ride
+    * along as broadcasts; the `rank <= k` filter plants a partial
+    * WindowGroupLimit below the exchange.
+    *
+    * Ranking uses `round(score, 4)` (ties broken by doc_id) so the order
+    * is reproducible across engines: the only non-IEEE-exact step is ln,
+    * which libm implementations may differ on in the last ulp. */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column,
+               queries: DataFrame, k: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(id.as("doc_id"),
+      graft.functions.TextFunctions.tokens(text).as("toks"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      (sum(size(col("toks")).cast("long")).cast("double") /
+        count(lit(1))).as("avgdl"))
+    val qt = queries.select(col("query_id"), explode(col("kws")).as("term"))
+    val tf = toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .join(broadcast(qt.select("term").distinct()), Seq("term"), "leftsemi")
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("score"), 4).desc, col("doc_id").asc)
+    tf.join(broadcast(qt), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__bm_t",
+        log((col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) *
+            (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__bm_t")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        round(col("score"), 4).as("score"), col("rank"))
+  }
+
   /** Distributed inclusive prefix sum (running total) of `weight` over the
     * deterministic total order (`orderU` asc, `id` asc), where `orderU`
     * must be uniform in [0,1) — e.g. [[hashUniform]]. Appends column `out`

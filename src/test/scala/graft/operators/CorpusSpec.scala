@@ -100,6 +100,38 @@ class CorpusSpec extends SparkSpecBase {
     assert(r == Map(1L -> "zebra", 2L -> "yak", 3L -> "emu"))
   }
 
+  test("bm25TopK matches the hand-computed Okapi formula") {
+    val corpus = Seq(
+      (1L, "spark spark streams"),       // tf(spark)=2, dl=3
+      (2L, "spark joins tables windows"),// tf(spark)=1, dl=4
+      (3L, "ducks geese swans")).toDF("doc_id", "text")
+    val queries = Seq((0, Seq("spark"))).toDF("query_id", "kws")
+    val got = Corpus.bm25TopK(corpus, col("doc_id"), col("text"), queries)
+      .select("doc_id", "score", "rank").as[(Long, Double, Int)]
+      .collect().sortBy(_._3)
+    def bm25(tf: Double, dl: Double): Double = {
+      val idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0) // N=3, df=2
+      val avgdl = 10.0 / 3
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    }
+    def r4(x: Double): Double = // Spark round() is HALF_UP
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = Seq(1L -> r4(bm25(2, 3)), 2L -> r4(bm25(1, 4)))
+    assert(got.map(r => r._1 -> r._2).toSeq == expect &&
+      got.map(_._3).toSeq == Seq(1, 2),
+      s"got ${got.toSeq}, want $expect")
+  }
+
+  test("bm25TopK gates corpus tokens behind a broadcast semi join") {
+    val queries = Seq((0, Seq("w1_1", "w2_2"))).toDF("query_id", "kws")
+    val plan = Corpus.bm25TopK(docs, col("doc_id"), col("text"), queries)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") && plan.contains("BroadcastHashJoin"),
+      s"query-term semi join must broadcast (corpus text stays local):\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k must plant a WindowGroupLimit:\n$plan")
+  }
+
   test("chunkTokens emits zero chunks for empty/whitespace-only docs") {
     // split("") yields [""]; without the zero-token guard an empty doc
     // would fabricate one empty chunk with chunk_len=1 (ADVICE r2)
