@@ -477,6 +477,35 @@ object SparkEntry {
       Profile.histogram(T(s, d, "lineitem"), col("l_extendedprice"),
         lo = 900.0, hi = 105000.0, bins = 20)),
 
+    // Equi-depth histogram: sketch cut points aren't DuckDB-expressible,
+    // so the oracle is the invariant-boolean pattern (quantile_approx
+    // precedent): bucket ids exact, balance within the sketch's rank-error
+    // band (2·N/accuracy per bucket + rounding slack), coverage exact.
+    "histogram_depth" -> ((s, d) => {
+      val o = T(s, d, "orders")
+      val h = Profile.histogramEquiDepth(o, col("o_totalprice"), bins = 8,
+        accuracy = 10000)
+      val total = o.agg(count(lit(1)).as("n_rows"))
+      val cov = h.agg(sum(col("cnt")).as("sum_cnt"))
+      h.crossJoin(broadcast(total)).crossJoin(broadcast(cov))
+        .select(col("bucket"),
+          (abs(col("cnt") - col("n_rows").cast("double") / 8) <=
+            col("n_rows") * (2.0 / 10000) + 2.0).as("balanced"),
+          (col("sum_cnt") === col("n_rows")).as("covers_all"))
+    }),
+
+    // Per-column profile: null_frac / exact n_distinct / numeric min-max
+    // hash-match; the HLL sketch is verified within its error band as a
+    // pinned-TRUE bool (approx_distinct precedent).
+    "profile_columns" -> ((s, d) =>
+      Profile.columnProfile(T(s, d, "orders"),
+          Seq("o_orderstatus", "o_custkey", "o_totalprice"),
+          exactDistinct = true)
+        .select(col("col_name"), col("null_frac"), col("n_distinct"),
+          col("min_v"), col("max_v"),
+          (abs(col("approx_distinct") - col("n_distinct")) <=
+            col("n_distinct") * 0.10).as("approx_within_10pct"))),
+
     // Wide→long unpivot (Expand node: no shuffle until the aggregate).
     "unpivot_measures" -> ((s, d) =>
       T(s, d, "lineitem")
@@ -2155,6 +2184,37 @@ object SparkEntry {
         | round(max(l_extendedprice), 2) AS hi_seen
         |FROM lineitem WHERE l_extendedprice IS NOT NULL
         |GROUP BY 1""".stripMargin,
+
+    // Invariant-boolean partial oracle: the sketch cuts themselves aren't
+    // DuckDB-expressible; the engine asserts balance + coverage and the
+    // oracle pins every bucket's booleans TRUE.
+    "histogram_depth" ->
+      """SELECT CAST(unnest(range(8)) AS INT) AS bucket,
+        | TRUE AS balanced, TRUE AS covers_all""".stripMargin,
+
+    "profile_columns" ->
+      """SELECT 'o_orderstatus' AS col_name,
+        |  round(CAST(1.0 AS DOUBLE) - count(o_orderstatus) / count(*), 4)
+        |    AS null_frac,
+        |  count(DISTINCT o_orderstatus) AS n_distinct,
+        |  round(TRY_CAST(min(o_orderstatus) AS DOUBLE), 2) AS min_v,
+        |  round(TRY_CAST(max(o_orderstatus) AS DOUBLE), 2) AS max_v,
+        |  TRUE AS approx_within_10pct
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey',
+        |  round(CAST(1.0 AS DOUBLE) - count(o_custkey) / count(*), 4),
+        |  count(DISTINCT o_custkey),
+        |  round(TRY_CAST(min(o_custkey) AS DOUBLE), 2),
+        |  round(TRY_CAST(max(o_custkey) AS DOUBLE), 2), TRUE
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice',
+        |  round(CAST(1.0 AS DOUBLE) - count(o_totalprice) / count(*), 4),
+        |  count(DISTINCT o_totalprice),
+        |  round(TRY_CAST(min(o_totalprice) AS DOUBLE), 2),
+        |  round(TRY_CAST(max(o_totalprice) AS DOUBLE), 2), TRUE
+        |FROM orders""".stripMargin,
 
     "quality_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS tk

@@ -33,17 +33,30 @@ object Dedup {
     * at 100 TB degenerate digests (empty strings, boilerplate pages) have
     * millions of members — an executor-OOM shape no matter how the groups
     * shuffle. The join-back costs a second scan of (id, digest) — 40-byte
-    * rows with the text column pruned — and both join sides hash-partition
-    * by digest, so AQE handles a skewed digest like any skewed join key. */
-  def exactDuplicates(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    * rows with the text column pruned.
+    *
+    * The join-back is SALTED by default (round-6 finding): AQE's skew-join
+    * split does NOT cover this shape — OptimizeSkewedJoin only matches a
+    * join whose children are bare (sorted) exchanges, and the groups side
+    * here is Filter(HashAggregate(exchange)), so a hot digest's reduce
+    * partition would stream through ONE task no matter the confs
+    * (disproven live by DedupScaleSpec's 90%-hot probe). [[Skew.saltedJoin]]
+    * splits a hot digest across `saltBuckets` reducers deterministically:
+    * the keyed side salts by row hash, the (tiny, 1-row-per-dup-digest)
+    * groups side replicates ×saltBuckets. `saltBuckets <= 1` restores the
+    * plain join for corpora known to be skew-free. */
+  def exactDuplicates(docs: DataFrame, id: Column, text: Column,
+                      saltBuckets: Int = 16): DataFrame = {
     val keyed = docs.select(id.as("doc_id"), md5(text).as("digest"))
     val groups = keyed
       .groupBy(col("digest"))
       .agg(min(col("doc_id")).as("canonical_id"),
         count(lit(1)).as("group_size"))
       .filter(col("group_size") > 1)
-    keyed.join(groups, Seq("digest"))
-      .filter(col("doc_id") =!= col("canonical_id"))
+    val joined =
+      if (saltBuckets > 1) Skew.saltedJoin(keyed, groups, "digest", saltBuckets)
+      else keyed.join(groups, Seq("digest"))
+    joined.filter(col("doc_id") =!= col("canonical_id"))
       .select(col("doc_id"), col("canonical_id"), col("group_size"))
   }
 
@@ -320,24 +333,37 @@ object Dedup {
     * spillable). Each round's labels are CHECKPOINTED, not merely
     * persisted: the jump step self-joins the label frame, so the logical
     * plan would double every round — 2^rounds plan nodes — and plan
-    * analysis itself OOMs long before any data moves. localCheckpoint
-    * truncates both lineage and plan to constant depth (on a cluster,
-    * configure a checkpoint dir and swap in reliable `.checkpoint()` to
-    * also survive executor loss). Nothing is collected to the driver —
-    * convergence is detected from the sum of labels, which strictly
-    * decreases until fixpoint (one scalar action per round). */
+    * analysis itself OOMs long before any data moves. Checkpointing
+    * truncates both lineage and plan to constant depth. Nothing is
+    * collected to the driver — convergence is detected from the sum of
+    * labels, which strictly decreases until fixpoint (one scalar action
+    * per round).
+    *
+    * `checkpointDir`: None (default) uses `localCheckpoint` — blocks live
+    * on executors, right for a single-JVM run, but an executor loss kills
+    * the job since truncated lineage cannot recompute. On a multi-node
+    * run pass a reliable (HDFS/S3) directory: each round's labels are
+    * written there with `.checkpoint()` and survive any executor death —
+    * a 100 TB closure takes long enough that one WILL die. The caller
+    * owns the directory's lifecycle (set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` or clean it
+    * after the run). */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
     // No distinct over the symmetrized edges: min-aggregation is
     // duplicate-insensitive, so deduping would buy nothing but a shuffle.
     val sym = edges.select(col(src).as("u"), col(dst).as("v"))
       .union(edges.select(col(dst).as("u"), col(src).as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("u").as("id"))
+    var labels = materialize(sym.select(col("u").as("id"))
       .distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
+      .select(col("id"), col("id").as("comp")))
     // no edges -> no nodes: already the fixpoint (and labelSum of an
     // empty frame is null, which the convergence compare must never see)
     if (labels.isEmpty) { sym.unpersist(); return labels }
@@ -360,11 +386,10 @@ object Dedup {
           least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
       // (2) pointer jump: comp := comp(comp). comp(x) <= x, so every label
       // is itself a node id and the inner join always matches.
-      val next = stepped
+      val next = materialize(stepped
         .join(stepped.select(col("id").as("jid"), col("comp").as("jcomp")),
           col("comp") === col("jid"))
-        .select(col("id"), col("jcomp").as("comp"))
-        .localCheckpoint(true)
+        .select(col("id"), col("jcomp").as("comp")))
       val s = labelSum(next)
       converged = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s

@@ -37,6 +37,81 @@ object Profile {
         round(max(value), 2).as("hi_seen"))
   }
 
+  /** Equi-depth histogram: bucket boundaries are the approx-percentile
+    * sketch cuts at fractions i/bins, so each bucket holds ~N/bins rows
+    * regardless of the value distribution (the complement of the
+    * fixed-range [[histogram]]: equi-width shows shape, equi-depth shows
+    * quantile structure and is what skew-aware partitioning wants).
+    *
+    * Scale shape: the cuts are ONE map-side-combinable sketch aggregation
+    * (bounded state, `accuracy` controls the 1/accuracy rank error)
+    * broadcast as a 1-row frame; bucket assignment is a codegen HOF count
+    * over the ≤ bins-1 cut array; the final count is a hash agg whose
+    * shuffle carries at most `bins` rows per map partition. Rows with a
+    * null value are excluded (a null has no quantile).
+    *
+    * Ties: heavily duplicated values collapse adjacent cuts, so some
+    * buckets can be empty and others hold all duplicates — inherent to
+    * equi-depth semantics, not a bug. */
+  def histogramEquiDepth(df: DataFrame, value: Column, bins: Int,
+                         accuracy: Int = 10000): DataFrame = {
+    require(bins > 0, "need bins > 0")
+    val fracs = (1 until bins).map(_.toDouble / bins).toArray
+    val present = df.filter(value.isNotNull)
+    val cuts = present.agg(percentile_approx(value,
+      lit(fracs), lit(accuracy)).as("__hd_cuts"))
+    present
+      .crossJoin(broadcast(cuts))
+      .select(value.as("__hd_v"), col("__hd_cuts"))
+      .withColumn("bucket",
+        size(filter(col("__hd_cuts"), c => c <= col("__hd_v"))).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        round(min(col("__hd_v")), 2).as("lo_seen"),
+        round(max(col("__hd_v")), 2).as("hi_seen"))
+  }
+
+  /** Per-column table profile — one row per column with null fraction,
+    * (approximate) distinct count, and numeric min/max: the first frame
+    * anyone should look at before training on a table.
+    *
+    * ONE pass over the table: all measures for all columns aggregate in a
+    * single map-side-combinable hash agg (a wide 1-row frame), unpivoted
+    * to long form with `stack` — never one scan per column. min/max are
+    * `try_cast` to double (non-numeric columns profile as null there;
+    * DuckDB mirrors with TRY_CAST). Distinct counts are HLL sketches
+    * (`rsd` relative error, bounded state); `exactDistinct = true` adds an
+    * exact `n_distinct` column for verification — that variant plans an
+    * Expand (input × columns) and is for oracles and small tables, not
+    * the 100 TB path. */
+  def columnProfile(df: DataFrame, cols: Seq[String], rsd: Double = 0.05,
+                    exactDistinct: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__p_cnt_$c"),
+        approx_count_distinct(col(c), rsd).as(s"__p_apx_$c"),
+        expr(s"round(try_cast(min(`$c`) AS DOUBLE), 2)").as(s"__p_min_$c"),
+        expr(s"round(try_cast(max(`$c`) AS DOUBLE), 2)").as(s"__p_max_$c")
+      ) ++ (if (exactDistinct) Seq(countDistinct(col(c)).as(s"__p_ex_$c"))
+            else Nil)
+    }
+    val wide = df.agg(count(lit(1)).as("__p_n"), aggs: _*)
+    val stackCols = cols.map { c =>
+      s"'$c', __p_cnt_$c, __p_apx_$c, __p_min_$c, __p_max_$c" +
+        (if (exactDistinct) s", __p_ex_$c" else "")
+    }.mkString(", ")
+    // output name is col_name, not "column" — reserved word in DuckDB
+    val names = "col_name, __p_c, approx_distinct, min_v, max_v" +
+      (if (exactDistinct) ", n_distinct" else "")
+    val long = wide.select(col("__p_n"),
+      expr(s"stack(${cols.size}, $stackCols) AS ($names)"))
+    val base = Seq(col("col_name"),
+      round(lit(1.0) - col("__p_c") / col("__p_n"), 4).as("null_frac"),
+      col("approx_distinct"), col("min_v"), col("max_v"))
+    long.select(
+      (if (exactDistinct) base :+ col("n_distinct") else base): _*)
+  }
+
   /** Word-repetition quality signals per document (the Gopher repetition
     * family, word-granular): fraction of words taken by the most frequent
     * word, distinct-word ratio, and fraction of word bigrams taken by the

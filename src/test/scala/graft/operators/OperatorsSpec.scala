@@ -126,6 +126,29 @@ class ComponentsSpec extends SparkSpecBase {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
 
+  test("reliable-checkpoint closure matches localCheckpoint exactly") {
+    // the 100 TB path: per-round labels written to a reliable dir with
+    // .checkpoint() so truncated lineage survives executor loss
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+        (20L, 21L), (20L, 22L), (20L, 23L)).toDF("id_a", "id_b")
+      val local = Dedup.connectedComponents(edges, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      val reliable = Dedup.connectedComponents(edges, "id_a", "id_b",
+          checkpointDir = Some(dir.toString))
+        .as[(Long, Long)].collect().toMap
+      assert(reliable == local)
+      // the rounds actually wrote through the reliable dir
+      assert(java.nio.file.Files.list(dir).count() > 0,
+        "reliable checkpoint dir stayed empty — rounds never wrote there")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("pointer jumping converges on a long path in O(log n) rounds") {
     // a 200-node path is the worst case for plain propagation (diameter
     // 199); with the jump step it must converge well within 25 rounds

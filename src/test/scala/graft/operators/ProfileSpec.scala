@@ -36,6 +36,56 @@ class ProfileSpec extends SparkSpecBase {
       s"histogram lost its map-side combine:\n$p")
   }
 
+  test("histogramEquiDepth balances a skewed distribution, drops nothing") {
+    // x^3-skewed values: equi-WIDTH would pile most rows into low buckets;
+    // equi-depth must land n/bins (+/- rounding) in every bucket
+    val df = spark.range(10000L)
+      .selectExpr("cast(id * id * id as double) as x")
+    val h = Profile.histogramEquiDepth(df, col("x"), bins = 10)
+      .select("bucket", "cnt").as[(Int, Long)].collect().sortBy(_._1)
+    assert(h.map(_._1).toSeq == (0 until 10), s"bucket ids: ${h.toSeq}")
+    assert(h.map(_._2).sum == 10000L, "equi-depth must never drop rows")
+    h.foreach { case (b, c) =>
+      assert(math.abs(c - 1000L) <= 10, s"bucket $b holds $c of ~1000")
+    }
+    // buckets are contiguous in value order (edges monotone)
+    val edges = Profile.histogramEquiDepth(df, col("x"), bins = 10)
+      .select("bucket", "lo_seen", "hi_seen")
+      .as[(Int, Double, Double)].collect().sortBy(_._1)
+    edges.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._2, s"bucket overlap: $a then $b")
+    }
+  }
+
+  test("histogramEquiDepth excludes nulls and collapses duplicate cuts") {
+    val df = (Seq.fill(95)(Some(1.0)) ++ Seq(Some(2.0)) ++
+      Seq.fill(4)(Option.empty[Double])).toDF("x")
+    val h = Profile.histogramEquiDepth(df, col("x"), bins = 4)
+      .select("bucket", "cnt").as[(Int, Long)].collect().toMap
+    // all cuts equal 1.0: the 95 duplicates land above every cut
+    // (c <= v counts all 3 cuts), 2.0 joins them; nulls are excluded
+    assert(h.values.sum == 96, s"nulls must be excluded, got $h")
+  }
+
+  test("columnProfile: one row per column, exact stats, one scan") {
+    val df = Seq(("a", Some(1L), Some(1.5)), ("b", Some(2L), None),
+      ("a", None, Some(9.25))).toDF("s", "k", "v")
+    val r = Profile.columnProfile(df, Seq("s", "k", "v"),
+        exactDistinct = true)
+      .as[(String, Double, Long, Option[Double], Option[Double], Long)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(r("s") == ("s", 0.0, 2L, None, None, 2L)) // strings: null min/max
+    assert(r("k") == ("k", 0.3333, 2L, Some(1.0), Some(2.0), 2L))
+    assert(r("v") == ("v", 0.3333, 2L, Some(1.5), Some(9.25), 2L))
+    // the approx-only (100 TB) variant plans no Expand and a single scan
+    val p = Profile.columnProfile(df, Seq("s", "k", "v"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Expand"),
+      s"approx-only profile must not expand the input:\n$p")
+    assert("Scan".r.findAllIn(p).size == 1,
+      s"profile must read the table exactly once:\n$p")
+  }
+
   test("repetitionSignals plan: two-phase aggs, no window/collect state") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val p = Profile.repetitionSignals(docs, col("doc_id"), col("text"))

@@ -142,6 +142,64 @@ class DedupScaleSpec extends SparkSpecBase {
       s"pipeline_e2e re-grew unbounded agg state:\n$plan")
   }
 
+  test("exactDuplicates' salted join-back spreads a 90%-hot digest") {
+    // Round-6 adversarial probe. Finding first: AQE's skew-join split
+    // CANNOT cover this join — OptimizeSkewedJoin only matches a join
+    // whose children are bare sorted exchanges, and the groups side is
+    // Filter(HashAggregate(exchange)), so with the plain join the hot
+    // digest's whole reduce partition streams through one task however
+    // the skew confs are tuned (observed live before the salting fix).
+    // The operator therefore salts by default; this probe pins that no
+    // task absorbs the hot key's shuffle. Broadcast is disabled because
+    // at real scale the duplicate-groups frame isn't broadcastable.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      // test data is a few hundred KB: stop AQE's coalescing (1 MB min
+      // partition size) from merging every reduce partition into one
+      // task, which would mask the salt spread being measured
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "4096")
+    val saved = confs.map { case (k, _) =>
+      k -> util.Try(spark.conf.get(k)).toOption.filter(_ != null) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val reads = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null)
+          reads.put(t.taskInfo.taskId, m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val pad = "x" * 200
+      val docs = spark.range(40000L).selectExpr("id AS doc_id",
+        s"CASE WHEN id % 10 > 0 THEN 'hot $pad' " +
+          s"ELSE concat('u', id, '$pad') END AS text")
+      val r = Dedup.exactDuplicates(docs, col("doc_id"), col("text"))
+      assert(r.collect().length == 36000 - 1)
+      Thread.sleep(300) // drain listener events
+      // every hot row still maps to the group minimum across salt buckets
+      val plan = r.queryExecution.executedPlan.toString
+      assert(plan.contains("_salt"), s"salted join-back vanished:\n$plan")
+      val total = reads.values.sum.toDouble
+      val max = reads.values.max.toDouble
+      // unsalted, the hot digest's join task reads >50% of all shuffle
+      // bytes (one (digest) reduce partition = 90% of the corpus); salted
+      // 16 ways over 4 reducers it must spread to ~25% + salt variance
+      assert(max < 0.4 * total,
+        s"one task still absorbs the hot key: max=$max of total=$total")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("bucketPairs degrades gracefully on an adversarial hot bucket") {
     // one bucket stuffed with 10× the cap: the capping window must bound
     // both the pair blowup (≤ cap·(cap−1)/2) and which ids survive (the
