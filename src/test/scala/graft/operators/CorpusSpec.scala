@@ -122,6 +122,45 @@ class CorpusSpec extends SparkSpecBase {
       s"got ${got.toSeq}, want $expect")
   }
 
+  test("bm25TopK matches a driver-side reference on random corpora (seeded)") {
+    val rnd = new scala.util.Random(777L)
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen")
+    for (trial <- 1 to 3) {
+      val nDocs = 30 + rnd.nextInt(30)
+      val corpus = (0 until nDocs).map { i =>
+        val len = 1 + rnd.nextInt(12)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val kws = Seq(vocab(rnd.nextInt(vocab.size)), vocab(rnd.nextInt(vocab.size)))
+      val got = Corpus.bm25TopK(corpus.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), Seq((0, kws)).toDF("query_id", "kws"),
+          k = 10)
+        .select("doc_id", "score", "rank")
+        .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+      // reference: same formula, same operation order, driver-side
+      val toks = corpus.map { case (id, t) => id -> t.split("\\s+").toSeq }
+      val n = toks.size.toLong
+      val avgdl = toks.map(_._2.size.toLong).sum.toDouble / toks.size
+      val dfm = kws.distinct.map(t =>
+        t -> toks.count(_._2.contains(t)).toLong).toMap
+      def r4(x: Double): Double =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val expect = toks.flatMap { case (id, ts) =>
+        val dl = ts.size.toLong
+        val terms = kws.filter(ts.contains) // one contribution per kw slot
+        if (terms.isEmpty) None
+        else Some(id -> r4(terms.map { t =>
+          val tf = ts.count(_ == t).toLong
+          val df = dfm(t)
+          math.log((n - df + 0.5) / (df + 0.5) + 1.0) *
+            (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        }.sum))
+      }.sortBy { case (id, s) => (-s, id) }.take(10)
+        .zipWithIndex.map { case ((id, s), i) => (id, s, i + 1) }
+      assert(got == expect, s"trial $trial (kws=$kws): $got vs $expect")
+    }
+  }
+
   test("bm25TopK gates corpus tokens behind a broadcast semi join") {
     val queries = Seq((0, Seq("w1_1", "w2_2"))).toDF("query_id", "kws")
     val plan = Corpus.bm25TopK(docs, col("doc_id"), col("text"), queries)

@@ -57,6 +57,36 @@ class ProfileSpec extends SparkSpecBase {
     }
   }
 
+  test("histogramEquiDepth invariants hold across distribution shapes (seeded)") {
+    val rnd = new scala.util.Random(4040L)
+    val shapes: Seq[(String, Double => Double)] = Seq(
+      ("uniform", u => u),
+      ("exponential", u => -math.log(1.0 - u * 0.999999)),
+      ("heavy-tail", u => math.pow(1.0 - u * 0.999999, -2.0)))
+    for ((name, f) <- shapes; bins <- Seq(4, 16)) {
+      val n = 2000 + rnd.nextInt(2000)
+      val xs = (0 until n).map(i => f(rnd.nextDouble()) + i * 1e-9) // distinct
+      val h = Profile.histogramEquiDepth(xs.toDF("x"), col("x"), bins)
+        .select("bucket", "cnt", "lo_seen", "hi_seen")
+        .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+      assert(h.map(_._2).sum == n, s"$name/$bins dropped rows")
+      assert(h.map(_._1).forall(b => b >= 0 && b < bins),
+        s"$name/$bins bucket out of range: ${h.map(_._1).toSeq}")
+      // depth balance within the sketch's rank-error band (+ rounding)
+      val band = 2.0 * n / 10000 + 2.0
+      h.foreach { case (b, c, _, _) =>
+        assert(math.abs(c - n.toDouble / bins) <= band + n % bins,
+          s"$name/$bins bucket $b holds $c of ~${n / bins}")
+      }
+      // buckets partition the value axis in order
+      h.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 <= b._3,
+          s"$name/$bins overlap: $a then $b")
+        case _ =>
+      }
+    }
+  }
+
   test("histogramEquiDepth excludes nulls and collapses duplicate cuts") {
     val df = (Seq.fill(95)(Some(1.0)) ++ Seq(Some(2.0)) ++
       Seq.fill(4)(Option.empty[Double])).toDF("x")
