@@ -377,6 +377,58 @@ object GraftHash {
     * collisions. One codegen'd pass + a sort; no array materialization in
     * the plan (the `transform(...)`-built n-gram column evaluates its
     * lambda interpreted and allocates every gram string). */
+  /** Per-document repetition counters in ONE pass over the token array:
+    * `[maxWordCount, nWords, nDistinctWords, maxBigramCount, nBigrams]`.
+    * Word identity is the fnv1a64 hash (collision probability ~len²/2^64
+    * per document — the [[ngramRepetition]] convention); bigram identity
+    * is the same positional FNV fold over two adjacent token hashes.
+    * Sort-and-scan run counting: no per-row map allocation churn.
+    *
+    * This is the row-LOCAL form of the Gopher repetition signals: every
+    * counter depends only on the document's own tokens, so computing them
+    * through explode→groupBy→join (the former shape) shuffled
+    * O(corpus tokens) for a value a map task can produce in place. */
+  def repetitionCounts(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = if (tokens.isNullAt(i)) 0L else fnv1a64(tokens.getUTF8String(i))
+      i += 1
+    }
+    def maxRunAndDistinct(hs: Array[Long]): (Long, Long) = {
+      java.util.Arrays.sort(hs)
+      var maxRun = 0L
+      var distinct = 0L
+      var a = 0
+      while (a < hs.length) {
+        var b = a + 1
+        while (b < hs.length && hs(b) == hs(a)) b += 1
+        distinct += 1
+        if (b - a > maxRun) maxRun = b - a
+        a = b
+      }
+      (maxRun, distinct)
+    }
+    val (maxW, distinctW) = maxRunAndDistinct(java.util.Arrays.copyOf(th, n))
+    val nb = if (n >= 2) n - 1 else 0
+    var maxG = 0L
+    if (nb > 0) {
+      val gh = new Array[Long](nb)
+      i = 0
+      while (i < nb) {
+        var h = 0xcbf29ce484222325L
+        h = (h ^ th(i)) * 0x100000001b3L
+        h = (h ^ th(i + 1)) * 0x100000001b3L
+        gh(i) = h
+        i += 1
+      }
+      maxG = maxRunAndDistinct(gh)._1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      Array(maxW, n.toLong, distinctW, maxG, nb.toLong))
+  }
+
   def ngramRepetition(tokens: ArrayData, n: Int): Double = {
     val num = tokens.numElements()
     if (num < n) return 0.0

@@ -208,6 +208,23 @@ case class NGramRepetition(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** One-pass per-document repetition counters
+  * `[maxWord, nWords, nDistinct, maxBigram, nBigrams]` — see
+  * GraftHash.repetitionCounts. Row-local: turns the Gopher repetition
+  * signals into a map-only scan (no explode, no shuffle). */
+case class RepetitionCounts(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.repetitionCounts(v.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftHash.repetitionCounts($c);")
+  override protected def withNewChildInternal(c: Expression): RepetitionCounts =
+    copy(child = c)
+}
+
 /** Exact Jaccard of two sorted distinct long arrays (linear merge). */
 case class JaccardSorted(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -355,6 +372,8 @@ object GraftFunctions {
     toCol(StopwordHits(toExpr(tokens), words))
   def ngramRepetition(tokens: Column, n: Int): Column =
     toCol(NGramRepetition(toExpr(tokens), n))
+  def repetitionCounts(tokens: Column): Column =
+    toCol(RepetitionCounts(toExpr(tokens)))
   def int8Scale(vec: Column): Column = toCol(Int8Scale(toExpr(vec)))
   def int8Codes(vec: Column): Column = toCol(Int8Codes(toExpr(vec)))
   def int8Dot(a: Column, b: Column): Column =

@@ -119,32 +119,27 @@ object Profile {
     * high max fractions / low distinct ratio and gets filtered before
     * training.
     *
-    * Shape: two explode→count aggregation chains keyed by (doc, term) —
-    * terms distribute uniformly, aggregation state is one counter per key,
-    * and the final per-doc rollup is a second bounded hash agg. No
-    * collect_list, no windows.
-    */
+    * Shape (round 6): MAP-ONLY. Every signal depends only on the
+    * document's own tokens, so the counters come from one codegen kernel
+    * pass per row ([[graft.functions.GraftHash.repetitionCounts]]) — no
+    * explode, no shuffle, no join. The former explode→groupBy→join chain
+    * shuffled O(corpus tokens) of (doc, term) rows for a value a map task
+    * produces in place; at sf0.1 that was the heaviest-shuffle text query
+    * in the inventory (5.8 MB) and at 100 TB it is corpus-sized. Word
+    * identity is a 64-bit hash (the ngramRepetition convention,
+    * collision odds ~len²/2^64 per doc). Docs with null text are dropped,
+    * matching the explode semantics of the former shape. */
   def repetitionSignals(docs: DataFrame, id: Column, text: Column)
   : DataFrame = {
-    val wordAgg = docs
-      .select(id.as("doc_id"), explode(TextFunctions.tokens(text)).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("max_word"), sum(col("c")).as("n_words"),
-        count(lit(1)).as("n_distinct"))
-    val gramAgg = docs
-      .select(id.as("doc_id"),
-        explode(TextFunctions.wordNGrams(text, 2)).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("max_gram"), sum(col("c")).as("n_grams"))
-    // left join: a single-word doc has words but no bigrams -> frac 0
-    wordAgg.join(gramAgg, Seq("doc_id"), "left")
+    val rc = graft.functions.GraftFunctions.repetitionCounts(
+      TextFunctions.tokens(text))
+    docs.filter(text.isNotNull)
+      .select(id.as("doc_id"), rc.as("__rc"))
       .select(col("doc_id"),
-        round(col("max_word") / col("n_words"), 4).as("max_word_frac"),
-        round(col("n_distinct") / col("n_words"), 4)
-          .as("distinct_word_ratio"),
-        round(coalesce(col("max_gram") / col("n_grams"), lit(0.0)), 4)
+        round(col("__rc")(0) / col("__rc")(1), 4).as("max_word_frac"),
+        round(col("__rc")(2) / col("__rc")(1), 4).as("distinct_word_ratio"),
+        round(when(col("__rc")(4) === 0, lit(0.0))
+          .otherwise(col("__rc")(3) / col("__rc")(4)), 4)
           .as("top_bigram_frac"))
   }
 }

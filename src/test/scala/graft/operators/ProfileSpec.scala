@@ -116,12 +116,14 @@ class ProfileSpec extends SparkSpecBase {
       s"profile must read the table exactly once:\n$p")
   }
 
-  test("repetitionSignals plan: two-phase aggs, no window/collect state") {
+  test("repetitionSignals plan: map-only, zero shuffle") {
+    // every signal is row-local — the plan must be a bare projection over
+    // the scan: no Exchange, no Generate (explode), no join, no window
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val p = Profile.repetitionSignals(docs, col("doc_id"), col("text"))
       .queryExecution.executedPlan.toString
-    assert(!p.contains("Window") && !p.contains("collect_list"), p)
-    assert(p.contains("partial_count"), p)
+    for (bad <- Seq("Exchange", "Generate", "Join", "Window", "Aggregate"))
+      assert(!p.contains(bad), s"repetition signals grew a $bad:\n$p")
   }
 
   test("repetitionSignals known answers incl. single-word doc") {
