@@ -63,6 +63,39 @@ class PlanHygieneSpec extends SparkSpecBase {
     }
   }
 
+  test("whole inventory stays in Tungsten except declared typed-op queries") {
+    // Object (de)serialization boundaries break whole-stage codegen and
+    // cost a per-row Row round-trip — only queries whose SEMANTICS need
+    // typed ops (mapPartitions decode loops, Dataset.map process tasks,
+    // the bounded-state TopK Aggregator) may carry one. Everything else
+    // must plan pure columnar. Adding a query to this list requires the
+    // typed op to be the point of the operator, not an implementation
+    // convenience.
+    val typedOps = Set(
+      "media_features",                    // mapPartitions batched decode
+      "process_map",                       // T2 process(): typed map task
+      "multimodal_meta", "frame_sample", "resize_plan", // binary plumbing
+      "similarity_topk", "similarity_ivf", "similarity_ivf_trained",
+      "similarity_int8_rerank", "hybrid_search", "hybrid_search_bm25",
+      "embedding_centroid", "embedding_cluster", "embedding_cluster_inv",
+      "embedding_cluster_lsh", "dedup_embedding", "dedup_embedding_lsh",
+      "similarity_int8",                   // TopK Aggregator / ANN kernels
+      // *_inv verification queries deliberately localCheckpoint their
+      // (tiny) pairs frame so the multiply-referenced invariant branches
+      // don't re-run the quadratic pair generation
+      "dedup_minhash_inv", "dedup_ngram_inv", "dedup_cluster_inv",
+      // connectedComponents checkpoints labels every round BY DESIGN: the
+      // jump step's self-join would double the plan every round without
+      // the truncation (see Dedup.scala scaladoc)
+      "dedup_cluster"
+    )
+    SparkEntry.queries.keys.filterNot(typedOps).foreach { q =>
+      val p = plan(q)
+      for (bad <- Seq("DeserializeToObject", "Scan ExistingRDD"))
+        assert(!p.contains(bad), s"$q fell out of Tungsten ($bad):\n$p")
+    }
+  }
+
   test("no single-partition global windows anywhere (scale bottleneck)") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
