@@ -62,10 +62,10 @@ object Bench {
       var lastSecs = 0.0
       meters.peak.set(0)
       var r = 0
-      // stop early only when every rep so far failed (a hard-broken query
-      // gains nothing from re-running); a success keeps the loop alive so
-      // a later transient failure can't mask the valid measurement
-      while (r < reps && (okAny || failedReps == 0)) {
+      // always run every rep: ok = at least one successful
+      // materialization, so neither a transient first-rep failure nor a
+      // transient later failure can mask a valid steady-state measurement
+      while (r < reps) {
         // Rep independence: queries that persist() (pipeline_full's prep
         // chain) would otherwise hand rep 2 a fully-cached plan — Spark's
         // CacheManager keys by canonicalized plan, so an identical rebuild
