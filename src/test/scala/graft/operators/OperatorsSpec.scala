@@ -306,6 +306,39 @@ class MergeStreamsSpec extends SparkSpecBase {
       90000L, 110000L, 120000L))
   }
 
+  test("mergedN emit_seq is the exact total order on adversarial " +
+    "timelines (seeded)") {
+    // the round-6 prefix-scan emission index must produce exactly
+    // 1..N in (ts, tieBreak) order whatever the time distribution:
+    // heavy duplicate timestamps (ties straddle scan buckets), clustered
+    // timelines (most rows in one bucket), single-instant streams
+    // (degenerate min==max), and many input streams
+    val rnd = new scala.util.Random(909L)
+    val cases = Seq[(String, Int => Long)](
+      ("dense-ties", _ => 1000L + rnd.nextInt(5) * 100L),
+      ("clustered", i => if (i % 10 == 0) 1000000L + rnd.nextInt(1000)
+                         else 500L + rnd.nextInt(3)),
+      ("one-instant", _ => 42L),
+      ("spread", _ => rnd.nextLong() % 1000000L))
+    for ((name, gen) <- cases) {
+      val nStreams = 2 + rnd.nextInt(3)
+      val rows = (0 until 600).map(i => (i.toLong, gen(i), i % nStreams))
+      val inputs = (0 until nStreams).map(s =>
+        rows.filter(_._3 == s).map(r => (r._1, r._2))
+          .toDF("event_id", "ts"))
+      val got = MergeStreams.mergedN(inputs, col("ts"), col("event_id"))
+        .select("event_id", "ts", "emit_seq")
+        .as[(Long, Long, Long)].collect()
+      val expectSeq = rows.map(r => (r._2, r._1)).sorted
+        .zipWithIndex.map { case ((ts, id), i) => id -> (i + 1L) }.toMap
+      assert(got.length == 600, s"$name lost rows")
+      got.foreach { case (id, _, seq) =>
+        assert(seq == expectSeq(id),
+          s"$name: event $id got emit_seq $seq, want ${expectSeq(id)}")
+      }
+    }
+  }
+
   test("paired watermark: record emittable iff other stream has passed it") {
     val a = Seq(10L, 50L).map(("a", _))
     val b = Seq(30L, 70L).map(("b", _))
