@@ -2197,23 +2197,23 @@ object SparkEntry {
         |  round(CAST(1.0 AS DOUBLE) - count(o_orderstatus) / count(*), 4)
         |    AS null_frac,
         |  count(DISTINCT o_orderstatus) AS n_distinct,
-        |  round(TRY_CAST(min(o_orderstatus) AS DOUBLE), 2) AS min_v,
-        |  round(TRY_CAST(max(o_orderstatus) AS DOUBLE), 2) AS max_v,
+        |  round(min(TRY_CAST(o_orderstatus AS DOUBLE)), 2) AS min_v,
+        |  round(max(TRY_CAST(o_orderstatus AS DOUBLE)), 2) AS max_v,
         |  TRUE AS approx_within_10pct
         |FROM orders
         |UNION ALL
         |SELECT 'o_custkey',
         |  round(CAST(1.0 AS DOUBLE) - count(o_custkey) / count(*), 4),
         |  count(DISTINCT o_custkey),
-        |  round(TRY_CAST(min(o_custkey) AS DOUBLE), 2),
-        |  round(TRY_CAST(max(o_custkey) AS DOUBLE), 2), TRUE
+        |  round(min(TRY_CAST(o_custkey AS DOUBLE)), 2),
+        |  round(max(TRY_CAST(o_custkey AS DOUBLE)), 2), TRUE
         |FROM orders
         |UNION ALL
         |SELECT 'o_totalprice',
         |  round(CAST(1.0 AS DOUBLE) - count(o_totalprice) / count(*), 4),
         |  count(DISTINCT o_totalprice),
-        |  round(TRY_CAST(min(o_totalprice) AS DOUBLE), 2),
-        |  round(TRY_CAST(max(o_totalprice) AS DOUBLE), 2), TRUE
+        |  round(min(TRY_CAST(o_totalprice AS DOUBLE)), 2),
+        |  round(max(TRY_CAST(o_totalprice AS DOUBLE)), 2), TRUE
         |FROM orders""".stripMargin,
 
     "quality_repetition" ->

@@ -90,8 +90,13 @@ object Profile {
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"__p_cnt_$c"),
         approx_count_distinct(col(c), rsd).as(s"__p_apx_$c"),
-        expr(s"round(try_cast(min(`$c`) AS DOUBLE), 2)").as(s"__p_min_$c"),
-        expr(s"round(try_cast(max(`$c`) AS DOUBLE), 2)").as(s"__p_max_$c")
+        // try_cast INSIDE min/max, not outside: a string-typed min buffer
+        // is variable-width and demotes every phase of the whole profile
+        // to SortAggregate (observed: explicit sorts over the Expand);
+        // a double buffer keeps it hash-aggregated. Also the better
+        // semantic — numeric min/max over the parseable values.
+        expr(s"round(min(try_cast(`$c` AS DOUBLE)), 2)").as(s"__p_min_$c"),
+        expr(s"round(max(try_cast(`$c` AS DOUBLE)), 2)").as(s"__p_max_$c")
       ) ++ (if (exactDistinct) Seq(countDistinct(col(c)).as(s"__p_ex_$c"))
             else Nil)
     }
