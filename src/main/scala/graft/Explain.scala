@@ -2,7 +2,7 @@ package graft
 
 /** Plan-audit main: print the EXECUTED physical plan of one or more
   * inventory queries (after AQE finalizes, i.e. what actually ran — the
-  * noop write materializes the query first). Usage:
+  * query is materialized through its own QueryExecution first). Usage:
   *
   *   sbt "runMain graft.Explain <sfDir> <query1,query2,...>"
   *
@@ -17,8 +17,16 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)
-      df.write.format("noop").mode("overwrite").save()
-      println(s"==== $n ====\n${df.queryExecution.executedPlan}")
+      // Materialize through the Dataset's OWN QueryExecution: a noop write
+      // (or count()) plans a SEPARATE QueryExecution, whose
+      // AdaptiveSparkPlanExec never executes — printing it shows the
+      // pre-AQE initial plan and hides runtime SMJ→BHJ conversions, skew
+      // splits, and coalescing. Running this qe's toRdd finalizes ITS
+      // adaptive plan, so the printed tree is what actually ran
+      // (isFinalPlan=true).
+      val qe = df.queryExecution
+      qe.toRdd.foreach(_ => ())
+      println(s"==== $n ====\n${qe.executedPlan}")
     }
     spark.stop()
   }

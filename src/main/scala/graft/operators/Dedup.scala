@@ -54,7 +54,13 @@ object Dedup {
         count(lit(1)).as("group_size"))
       .filter(col("group_size") > 1)
     val joined =
-      if (saltBuckets > 1) Skew.saltedJoin(keyed, groups, "digest", saltBuckets)
+      if (saltBuckets > 1)
+        // doc_id is the per-row-distinct spread key: (doc_id, digest) rows
+        // for a hot digest would all hash identically under the whole-row
+        // default only if doc_ids repeated — passing it explicitly keeps
+        // the spread guarantee independent of future column changes here
+        Skew.saltedJoin(keyed, groups, "digest", saltBuckets,
+          rowKey = Some(col("doc_id")))
       else keyed.join(groups, Seq("digest"))
     joined.filter(col("doc_id") =!= col("canonical_id"))
       .select(col("doc_id"), col("canonical_id"), col("group_size"))
@@ -347,12 +353,22 @@ object Dedup {
     * a 100 TB closure takes long enough that one WILL die. The caller
     * owns the directory's lifecycle (set
     * `spark.cleaner.referenceTracking.cleanCheckpoints=true` or clean it
-    * after the run). */
+    * after the run).
+    *
+    * The checkpoint directory is SparkContext-GLOBAL state. To avoid
+    * silently redirecting other `.checkpoint()` users in the same
+    * context, `checkpointDir` is only applied when no directory is
+    * configured yet; if one already is, it wins and this parameter's
+    * value is ignored (reliable checkpointing still happens, into the
+    * pre-configured directory). */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
                           maxIter: Int = 25,
                           checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    val sc = edges.sparkSession.sparkContext
+    // never clobber an application-configured dir (session-global state)
+    checkpointDir.foreach(d =>
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d))
     def materialize(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)

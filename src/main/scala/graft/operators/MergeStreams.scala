@@ -76,7 +76,14 @@ object MergeStreams {
     // id carries the FULL sort key — ties in u fall back to
     // (ts, tieBreak), keeping the emitted order exactly the contract's
     // total order.
-    val uCol = if (hi <= lo) lit(0.0) else (tsd - lit(lo)) / lit(hi - lo)
+    // Clamp into [0,1): rows AT the max timestamp draw exactly 1.0, which
+    // would bucket to `buckets` — outside runningTotal's documented
+    // [0,buckets) contract. The offsets theta-join happens to tolerate an
+    // overflow bucket, but that is incidental; keep the contract honest
+    // rather than lean on it (nextDown(1.0) maps only the exact-1.0 draw).
+    val uCol =
+      if (hi <= lo) lit(0.0)
+      else least((tsd - lit(lo)) / lit(hi - lo), lit(Math.nextDown(1.0)))
     Corpus.runningTotal(u, struct(ts, tieBreak), lit(1), uCol,
       out = "emit_seq")
   }

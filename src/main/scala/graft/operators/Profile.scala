@@ -87,23 +87,34 @@ object Profile {
   def columnProfile(df: DataFrame, cols: Seq[String], rsd: Double = 0.05,
                     exactDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"__p_cnt_$c"),
-        approx_count_distinct(col(c), rsd).as(s"__p_apx_$c"),
+    // Hostile-name safety: generated aliases are POSITIONAL (__p_cnt_0,
+    // never __p_cnt_<name>), so a column named "a b", "a.b", "a'b" or
+    // "a`b" cannot corrupt the stack() expression; the real name rides
+    // along only as an escaped string literal, and the source column is
+    // always referenced through a backtick-quoted identifier.
+    def ident(c: String) = "`" + c.replace("`", "``") + "`"
+    def strLit(c: String) =
+      "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(expr(ident(c))).as(s"__p_cnt_$i"),
+        approx_count_distinct(expr(ident(c)), rsd).as(s"__p_apx_$i"),
         // try_cast INSIDE min/max, not outside: a string-typed min buffer
         // is variable-width and demotes every phase of the whole profile
         // to SortAggregate (observed: explicit sorts over the Expand);
         // a double buffer keeps it hash-aggregated. Also the better
         // semantic — numeric min/max over the parseable values.
-        expr(s"round(min(try_cast(`$c` AS DOUBLE)), 2)").as(s"__p_min_$c"),
-        expr(s"round(max(try_cast(`$c` AS DOUBLE)), 2)").as(s"__p_max_$c")
-      ) ++ (if (exactDistinct) Seq(countDistinct(col(c)).as(s"__p_ex_$c"))
+        expr(s"round(min(try_cast(${ident(c)} AS DOUBLE)), 2)")
+          .as(s"__p_min_$i"),
+        expr(s"round(max(try_cast(${ident(c)} AS DOUBLE)), 2)")
+          .as(s"__p_max_$i")
+      ) ++ (if (exactDistinct)
+              Seq(countDistinct(expr(ident(c))).as(s"__p_ex_$i"))
             else Nil)
     }
     val wide = df.agg(count(lit(1)).as("__p_n"), aggs: _*)
-    val stackCols = cols.map { c =>
-      s"'$c', __p_cnt_$c, __p_apx_$c, __p_min_$c, __p_max_$c" +
-        (if (exactDistinct) s", __p_ex_$c" else "")
+    val stackCols = cols.indices.map { i =>
+      s"${strLit(cols(i))}, __p_cnt_$i, __p_apx_$i, __p_min_$i, __p_max_$i" +
+        (if (exactDistinct) s", __p_ex_$i" else "")
     }.mkString(", ")
     // output name is col_name, not "column" — reserved word in DuckDB
     val names = "col_name, __p_c, approx_distinct, min_v, max_v" +

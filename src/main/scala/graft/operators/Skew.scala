@@ -22,13 +22,27 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Inner equi-join of `big` (skewed) with `small`, salted n ways.
-    * Both frames must expose the join key as column `key`. */
+    * Both frames must expose the join key as column `key`.
+    *
+    * The salt is a deterministic hash — no RNG, so plans are reproducible
+    * and streams replayable — of `rowKey` when given, else of the whole
+    * big-side row. CAVEAT (the silent failure mode of the whole-row
+    * default): fully-IDENTICAL big-side rows hash to the SAME salt, so a
+    * hot key carried by duplicate rows does not spread at all. Pass
+    * `rowKey` = a per-row-distinct column (a unique id; NOT
+    * monotonically_increasing_id, which is non-deterministic under
+    * retries) whenever big-side rows can repeat. */
+  /** The salt derivation (exposed for the spec that pins the
+    * duplicate-row collapse caveat as observed behavior). */
+  private[graft] def saltOf(big: DataFrame, rowKey: Option[Column],
+                            saltBuckets: Int): Column =
+    pmod(hash(rowKey.getOrElse(struct(big.columns.map(col).toSeq: _*))),
+      lit(saltBuckets))
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-                 saltBuckets: Int): DataFrame = {
-    // deterministic salt: hash of the whole big-side row spreads hot keys
-    // uniformly without an RNG (reproducible plans, replayable streams)
-    val salted = big.withColumn("_salt",
-      pmod(hash(struct(big.columns.map(col).toSeq: _*)), lit(saltBuckets)))
+                 saltBuckets: Int,
+                 rowKey: Option[Column] = None): DataFrame = {
+    val salted = big.withColumn("_salt", saltOf(big, rowKey, saltBuckets))
     val replicated = small
       .withColumn("_salt", explode(array((0 until saltBuckets).map(lit): _*)))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")

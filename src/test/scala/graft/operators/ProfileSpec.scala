@@ -116,6 +116,23 @@ class ProfileSpec extends SparkSpecBase {
       s"profile must read the table exactly once:\n$p")
   }
 
+  test("columnProfile survives hostile column names") {
+    // spaces, dots, dashes, quotes, and backticks: the generated aliases
+    // are positional and the name only appears as an escaped literal /
+    // quoted identifier, so none of these may break parsing or leak into
+    // the wrong expression
+    val df = Seq(("a", 1.0), ("b", 2.0), (null, 3.0))
+      .toDF("weird col-na.me", "q'uo`te")
+    val r = Profile.columnProfile(df, Seq("weird col-na.me", "q'uo`te"))
+      .orderBy("col_name")
+      .as[(String, Double, Long, Option[Double], Option[Double])]
+      .collect()
+    assert(r.map(_._1).toSeq == Seq("q'uo`te", "weird col-na.me"),
+      "the real name must survive as the col_name literal")
+    assert(r(0) == ("q'uo`te", 0.0, 3L, Some(1.0), Some(3.0)))
+    assert(r(1) == ("weird col-na.me", 0.3333, 2L, None, None))
+  }
+
   test("repetitionSignals plan: map-only, zero shuffle") {
     // every signal is row-local — the plan must be a bare projection over
     // the scan: no Exchange, no Generate (explode), no join, no window

@@ -19,6 +19,55 @@ class SkewSpec extends SparkSpecBase {
     assert(salted == plain)
     assert(salted.size == 1800 + 2)   // HOT rows + k10 + k20
   }
+
+  test("saltedJoin ≡ plain inner join as a MULTISET on adversarial shapes") {
+    // seeded generic property (the operator is now load-bearing beyond
+    // dedup): null keys on both sides (inner join drops them), duplicate
+    // keys on both sides (result multiplicity = product of per-key
+    // counts), duplicate big-side ROWS, and several bucket counts
+    // including the degenerate n=1
+    val rnd = new scala.util.Random(42)
+    val ks = Seq(null, "", "HOT", "HOT", "HOT", "a", "b", "zq")
+    val big = (0 until 600).map { i =>
+      (ks(rnd.nextInt(ks.size)), (i % 40).toLong, i.toLong)
+    }.toDF("key", "v", "rid")
+    val small = Seq(("HOT", 1L), ("HOT", 2L), ("a", 3L),
+      (null.asInstanceOf[String], 9L), ("zz-unmatched", 4L))
+      .toDF("key", "w")
+    val plain = big.join(small, Seq("key")).select("key", "v", "w")
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(plain.nonEmpty)
+    for (n <- Seq(1, 3, 16)) {
+      val salted = Skew.saltedJoin(big, small, "key", n)
+        .select("key", "v", "w")
+        .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      assert(salted == plain, s"multiset mismatch at saltBuckets=$n")
+      val viaRowKey = Skew.saltedJoin(big, small, "key", n,
+        rowKey = Some(col("rid"))).select("key", "v", "w")
+        .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      assert(viaRowKey == plain, s"rowKey multiset mismatch at n=$n")
+    }
+    // empty small side: empty result, no error
+    assert(Skew.saltedJoin(big, small.filter(lit(false)), "key", 8).isEmpty)
+  }
+
+  test("rowKey spreads duplicate hot-key rows; the whole-row default can't") {
+    // the documented caveat, pinned as behavior: fully-identical big-side
+    // rows share one whole-row hash, so the hot key lands in ONE salt
+    // bucket; a per-row-distinct rowKey restores the spread
+    val dup = Seq.fill(1600)(("HOT", "payload")).toDF("key", "p")
+    val collapsed = dup
+      .select(Skew.saltOf(dup, None, 16).as("s")).distinct().count()
+    assert(collapsed == 1, "identical rows must collapse to one salt " +
+      "(if this starts failing, the scaladoc caveat is stale)")
+    val withId = dup.withColumn("rid",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)).orderBy(lit(1))).cast("long"))
+    val spread = withId
+      .select(Skew.saltOf(withId, Some(col("rid")), 16).as("s"))
+      .distinct().count()
+    assert(spread == 16, s"rowKey salt must reach all 16 buckets, got $spread")
+  }
 }
 
 class SimilarityScaleSpec extends SparkSpecBase {
