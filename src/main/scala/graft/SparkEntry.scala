@@ -1071,8 +1071,13 @@ object SparkEntry {
       import s.implicits._
       val docs = T(s, d, "documents")
       val emb = T(s, d, "embeddings")
-      val qk = Seq((0, Seq("spark", "query")), (1, Seq("stream", "batch")),
-        (2, Seq("window", "table"))).toDF("query_id", "kws")
+      // multi-term queries (4-5 keywords): with more than one addition per
+      // (query, doc) score the IEEE sum order matters — bm25TopK's sorted
+      // fold + DuckDB's sum(ORDER BY term) keep the hash exact
+      val qk = Seq((0, Seq("spark", "query", "scan", "hash")),
+        (1, Seq("stream", "batch", "join", "row")),
+        (2, Seq("window", "table", "group", "sort", "merge")))
+        .toDF("query_id", "kws")
       val lr = Corpus.bm25TopK(docs, col("doc_id"), col("text"), qk, k = 20)
         .select(col("query_id"), col("doc_id"), col("rank").as("lrank"))
       val qv = emb.filter(col("vec_id") < 3)
@@ -2472,8 +2477,10 @@ object SparkEntry {
     // diverges from Spark's IEEE doubles in the last ulps. k1=1.2, b=0.75,
     // so k1+1=2.2, 1-b=0.25 (the Scala side computes the same doubles).
     "hybrid_search_bm25" ->
-      """WITH kw AS (SELECT * FROM (VALUES (0, ['spark','query']),
-        |    (1, ['stream','batch']), (2, ['window','table']))
+      """WITH kw AS (SELECT * FROM (VALUES
+        |    (0, ['spark','query','scan','hash']),
+        |    (1, ['stream','batch','join','row']),
+        |    (2, ['window','table','group','sort','merge']))
         |    AS t(query_id, kws)),
         | qt AS (SELECT query_id, unnest(kws) AS term FROM kw),
         | toks AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
@@ -2490,7 +2497,8 @@ object SparkEntry {
         |           / (d.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
         |         * (t.tf * CAST(2.2 AS DOUBLE))
         |         / (t.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
-        |             + CAST(0.75 AS DOUBLE) * t.dl / s.avgdl))) AS score
+        |             + CAST(0.75 AS DOUBLE) * t.dl / s.avgdl))
+        |         ORDER BY t.term) AS score
         |   FROM tf t JOIN qt q USING (term) JOIN dfreq d USING (term)
         |   CROSS JOIN stats s GROUP BY 1, 2),
         | lr AS (SELECT query_id, doc_id, rn AS lrank FROM (

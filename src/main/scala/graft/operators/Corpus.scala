@@ -185,14 +185,32 @@ object Corpus {
     * WindowGroupLimit below the exchange.
     *
     * Ranking uses `round(score, 4)` (ties broken by doc_id) so the order
-    * is reproducible across engines: the only non-IEEE-exact step is ln,
-    * which libm implementations may differ on in the last ulp. */
+    * is reproducible across engines: the only non-IEEE-exact steps are ln
+    * (libm last-ulp variance) — and, without further care, the SUM of the
+    * per-term scores, since IEEE addition is not associative and a plain
+    * `sum()` adds in whatever order rows arrive. Multi-term queries
+    * therefore sum by SORTED FOLD: the ≤|query terms| per-(query, doc)
+    * contributions are collected (bounded state — the list can never
+    * exceed the query's own term count), term-sorted, and left-folded, so
+    * every engine that folds the same order (DuckDB:
+    * `sum(x ORDER BY term)`) produces the bit-identical double.
+    *
+    * The tokenized corpus feeds three plan branches (corpus stats, df,
+    * tf) and re-evaluates per branch — fine over a raw scan; for an
+    * expensive upstream chain pass `materialize = true` to persist the
+    * token frame once (MEMORY_AND_DISK, left cached — see
+    * [[runningTotal]]'s contract note). */
   def bm25TopK(docs: DataFrame, id: Column, text: Column,
                queries: DataFrame, k: Int = 20,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75,
+               materialize: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(id.as("doc_id"),
+    val toks0 = docs.select(id.as("doc_id"),
       graft.functions.TextFunctions.tokens(text).as("toks"))
+    val toks =
+      if (materialize)
+        toks0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else toks0
     val stats = toks.agg(count(lit(1)).as("n_docs"),
       (sum(size(col("toks")).cast("long")).cast("double") /
         count(lit(1))).as("avgdl"))
@@ -216,7 +234,12 @@ object Corpus {
           (col("tf") + lit(k1) *
             (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("__bm_t")).as("score"))
+      // sorted fold, not sum(): deterministic IEEE addition order (see
+      // scaladoc); state is bounded by the query's own term count
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("__bm_t")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("__bm_t")).as("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"),
@@ -248,8 +271,12 @@ object Corpus {
     * Exact: weights are summed as longs (no float drift at any scale);
     * frames are pinned ROWS-based so RANGE tie semantics can never differ
     * between engines. `df` is referenced by three plan branches and
-    * re-evaluates per branch (each column-pruned): fine over a raw scan;
-    * persist/localCheckpoint an expensive upstream chain first.
+    * re-evaluates per branch (each column-pruned): fine over a raw scan.
+    * For an expensive upstream chain pass `materialize = true` — the
+    * shared subtree is persisted (MEMORY_AND_DISK) so every branch reads
+    * the cache instead of re-running the chain. The cache entry is left
+    * in place (Spark evicts LRU); call `spark.catalog.clearCache()` or
+    * unpersist when the result has been consumed.
     *
     * `orderU` must be NON-NULL for every row (and should be ~uniform over
     * [0,1) for balanced buckets). A null draw has no bucket, so the final
@@ -257,10 +284,15 @@ object Corpus {
     * fast per-row instead of losing data. */
   def runningTotal(df: DataFrame, id: Column, weight: Column, orderU: Column,
                    buckets: Int = 256,
-                   out: String = "running_total"): DataFrame = {
+                   out: String = "running_total",
+                   materialize: Boolean = false): DataFrame = {
     require(buckets > 0, "need buckets > 0")
     import org.apache.spark.sql.expressions.Window
-    val base = df
+    val shared =
+      if (materialize)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val base = shared
       .withColumn("__rt_id", id)
       .withColumn("__rt_u", orderU)
       .withColumn("__rt_w", weight.cast("long"))
@@ -310,10 +342,11 @@ object Corpus {
     * tokens < 2^53 (double-exact integer range; ~9e15, comfortably above
     * a 100 TB corpus's ~1e13 tokens). */
   def packSequences(df: DataFrame, id: Column, nTokens: Column, budget: Long,
-                    salt: String = "", buckets: Int = 256): DataFrame = {
+                    salt: String = "", buckets: Int = 256,
+                    materialize: Boolean = false): DataFrame = {
     require(budget > 0, "need budget > 0")
     runningTotal(df, id, nTokens, hashUniform(id, salt), buckets,
-      out = "__ps_cum")
+      out = "__ps_cum", materialize = materialize)
       .withColumn("shard_id",
         floor((col("__ps_cum") - nTokens.cast("long")) / lit(budget.toDouble))
           .cast("long"))

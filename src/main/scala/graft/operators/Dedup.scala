@@ -228,6 +228,31 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Fail-fast misuse guard for the quadratic-per-block pair operators:
+    * ONE bounded scalar aggregation (the same driver-action class as
+    * mergedN's min/max) over the light key frame finds the hottest block;
+    * if its pair estimate exceeds `maxPairs` the call dies in seconds —
+    * at call time, before any O(block²) join is even planned — instead of
+    * hours into a 100 TB run. Double arithmetic: block counts can exceed
+    * the n(n-1)/2 long range. */
+  private def guardBlockPairs(light: DataFrame, blkCols: Seq[String],
+                              maxPairs: Long, op: String,
+                              lshPath: String): Unit = {
+    if (maxPairs < Long.MaxValue) {
+      val hot = light.groupBy(blkCols.map(col): _*)
+        .agg(count(lit(1)).as("__gb_n")).agg(max(col("__gb_n"))).head()
+      val n = if (hot.isNullAt(0)) 0.0 else hot.getLong(0).toDouble
+      val pairs = n * (n - 1) / 2
+      if (pairs > maxPairs)
+        throw new graft.GraftException(
+          f"$op: hottest block holds ${n.toLong} rows ≈ $pairs%.3g " +
+            s"candidate pairs > maxPairsPerBlock=$maxPairs. The blocked " +
+            s"pair join is O(block²) by construction — choose a finer " +
+            s"block key, raise maxPairsPerBlock explicitly, or use the " +
+            s"keyless LSH path ($lshPath), which absorbs any corpus")
+    }
+  }
+
   /** Exact token-set Jaccard over blocked candidate pairs. `block` keys the
     * self-join (e.g. same source + language) so the pair count stays linear
     * per block instead of N² global.
@@ -238,9 +263,14 @@ object Dedup {
     * satisfies min >= t*max. The bound is two ints per row, so the
     * expensive intersect/union runs on ~1/15th of the pairs (the standard
     * length-filter of set-similarity joins, cf. PPJoin, Xiao et al. 2008).
-    */
+    *
+    * `maxPairsPerBlock` is the misuse guard (on by default): the call
+    * fails fast — at CALL time, via one bounded scalar count over the
+    * light key frame — if any block's pair estimate exceeds it, pointing
+    * at [[minhashLsh]] as the keyless path. `Long.MaxValue` disables. */
   def tokenJaccardPairs(docs: DataFrame, id: Column, text: Column,
-                        block: Seq[Column], threshold: Double): DataFrame = {
+                        block: Seq[Column], threshold: Double,
+                        maxPairsPerBlock: Long = 25000000L): DataFrame = {
     // Phase 1 — candidate pairs over a LIGHT frame: (block, id, set size).
     // The O(pairs-per-block) join shuffles ~20 bytes/row and the length
     // bound prunes before any array ever moves.
@@ -250,6 +280,8 @@ object Dedup {
         size(GraftFunctions.tokenSetHash(TextFunctions.tokens(text)))
           .as("nt")): _*)
     val blkCols = block.indices.map(i => s"blk_$i")
+    guardBlockPairs(light, blkCols, maxPairsPerBlock,
+      "tokenJaccardPairs", "Dedup.minhashLsh")
     val l = light.select((blkCols.map(col) :+ col("doc_id").as("id_a") :+
       col("nt").as("nt_a")): _*)
     val r = light.select((blkCols.map(col) :+ col("doc_id").as("id_b") :+
@@ -433,10 +465,16 @@ object Dedup {
         col("cluster_size"))
   }
 
-  /** Embedding cosine near-dup, blocked to keep the pair space linear. */
+  /** Embedding cosine near-dup, blocked to keep the pair space linear.
+    * `maxPairsPerBlock` fails the call fast when a block's pair estimate
+    * goes quadratic-hot (see [[tokenJaccardPairs]]); [[embeddingLshPairs]]
+    * is the keyless path. `Long.MaxValue` disables. */
   def embeddingNearDup(vecs: DataFrame, id: Column, vec: Column,
-                       block: Column, threshold: Double): DataFrame = {
+                       block: Column, threshold: Double,
+                       maxPairsPerBlock: Long = 25000000L): DataFrame = {
     val base = vecs.select(block.as("blk"), id.as("vec_id"), vec.as("v"))
+    guardBlockPairs(base.select(col("blk")), Seq("blk"), maxPairsPerBlock,
+      "embeddingNearDup", "Dedup.embeddingLshPairs")
     val l = base.select(col("blk"), col("vec_id").as("id_a"), col("v").as("v_a"))
     val r = base.select(col("blk"), col("vec_id").as("id_b"), col("v").as("v_b"))
     l.join(r, Seq("blk"))

@@ -52,12 +52,23 @@ object Profile {
     *
     * Ties: heavily duplicated values collapse adjacent cuts, so some
     * buckets can be empty and others hold all duplicates — inherent to
-    * equi-depth semantics, not a bug. */
+    * equi-depth semantics, not a bug.
+    *
+    * The filtered input feeds two plan branches (the cuts sketch and the
+    * bucket assignment) and re-evaluates per branch — fine over a raw
+    * scan; for an expensive upstream chain pass `materialize = true` to
+    * persist it once (MEMORY_AND_DISK, left cached — see
+    * [[graft.operators.Corpus.runningTotal]]'s contract note). */
   def histogramEquiDepth(df: DataFrame, value: Column, bins: Int,
-                         accuracy: Int = 10000): DataFrame = {
+                         accuracy: Int = 10000,
+                         materialize: Boolean = false): DataFrame = {
     require(bins > 0, "need bins > 0")
     val fracs = (1 until bins).map(_.toDouble / bins).toArray
-    val present = df.filter(value.isNotNull)
+    val present0 = df.filter(value.isNotNull)
+    val present =
+      if (materialize)
+        present0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else present0
     val cuts = present.agg(percentile_approx(value,
       lit(fracs), lit(accuracy)).as("__hd_cuts"))
     present

@@ -249,6 +249,40 @@ class DedupScaleSpec extends SparkSpecBase {
     }
   }
 
+  test("quadratic pair ops fail fast on a hot block; LSH absorbs the corpus") {
+    // one 3000-row block ≈ 4.5M pairs: with the guard at 100k the call
+    // must die at CALL time (before any O(block²) join runs), naming the
+    // keyless LSH alternative — and that alternative must actually absorb
+    // the same corpus
+    val docs = (0 until 3000).map(i =>
+      (i.toLong, s"alpha bravo w$i x${i % 13} y${i % 7}", "ONEBLOCK"))
+      .toDF("doc_id", "text", "src")
+    val e = intercept[graft.GraftException] {
+      Dedup.tokenJaccardPairs(docs, col("doc_id"), col("text"),
+        Seq(col("src")), threshold = 0.8, maxPairsPerBlock = 100000L)
+    }
+    assert(e.getMessage.contains("minhashLsh"),
+      "guard must point at the keyless path")
+    // same corpus through the LSH path: runs to completion, no guard
+    assert(Dedup.minhashLsh(docs, col("doc_id"), col("text"),
+      threshold = 0.95).count() >= 0)
+    // raising the bound explicitly restores the blocked op
+    assert(Dedup.tokenJaccardPairs(docs, col("doc_id"), col("text"),
+      Seq(col("src")), threshold = 0.99,
+      maxPairsPerBlock = 10000000L).count() >= 0)
+
+    val vecs = (0 until 2000).map(i =>
+      (i.toLong, Array(math.cos(i * 0.01).toFloat,
+        math.sin(i * 0.01).toFloat), 0)).toDF("vec_id", "embedding", "label")
+    val ev = intercept[graft.GraftException] {
+      Dedup.embeddingNearDup(vecs, col("vec_id"), col("embedding"),
+        col("label"), threshold = 0.99, maxPairsPerBlock = 50000L)
+    }
+    assert(ev.getMessage.contains("embeddingLshPairs"))
+    assert(Dedup.embeddingLshPairs(vecs, col("vec_id"), col("embedding"),
+      threshold = 0.99).count() >= 0)
+  }
+
   test("bucketPairs degrades gracefully on an adversarial hot bucket") {
     // one bucket stuffed with 10× the cap: the capping window must bound
     // both the pair blowup (≤ cap·(cap−1)/2) and which ids survive (the
