@@ -44,10 +44,13 @@ object Bench {
                                  spillB: Long, peakB: Long, ok: Boolean)
 
   private def timeSuite(spark: SparkSession, sfDir: String,
-                        meters: Meters, reps: Int): Seq[QStat] = {
+                        meters: Meters, reps: Int,
+                        only: Option[Set[String]]): Seq[QStat] = {
     // warm up this SF's parquet footers outside timing
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
-    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // min over `reps` materializations: a transient contention spike
       // (driver co-tenancy, GC storm from the previous query's cleanup)
       // otherwise lands on whichever query runs during it and reads as a
@@ -185,8 +188,12 @@ object Bench {
     // cold-compile cost to the primary (which inflated ratios past the
     // super-linear threshold for cheap queries).
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
-    val secondary = sf2Dir.map(d => timeSuite(spark, d, meters, reps))
-    val primary = timeSuite(spark, sfDir, meters, reps)
+    // optional query subset (comma-separated names): the sf1 heavy-tail
+    // sweep runs ~20 queries at 10x data rather than the whole inventory
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val secondary = sf2Dir.map(d => timeSuite(spark, d, meters, reps, only))
+    val primary = timeSuite(spark, sfDir, meters, reps, only)
 
     val qs = obj(primary.map(q => q.name -> q.secs.toString))
     val shuffleMb = primary.map(q => q.name -> mb(q.shuffleB))

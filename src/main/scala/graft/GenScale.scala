@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic scale-up generator for the sf1 sweep: writes a `copies`×
+  * replica of an existing testdata directory by unioning key-shifted
+  * copies of every fact table, so the heavy-tail queries can be benched
+  * one decade above the largest driver-provided SF.
+  *
+  * Fidelity rules (the point is a REPRESENTATIVE 10× workload, not just
+  * 10× rows):
+  *  - Keys shift by a per-domain offset ≥ the domain's width, so FK
+  *    consistency holds within each copy (orders.o_custkey moves with
+  *    customer.c_custkey) and no cross-copy key collides. Copy 0 is the
+  *    original data bit-for-bit.
+  *  - region/nation stay fixed (TPC-H semantics: dimension cardinality
+  *    does not scale with SF).
+  *  - documents: every token of copy i > 0 gets a `~i` suffix. Within-copy
+  *    duplicate/near-dup structure replicates exactly (the dedup workload
+  *    scales linearly); cross-copy texts share NO shingles, so replicas
+  *    don't masquerade as a 10×-denser duplicate graph.
+  *  - embeddings: copy i's vectors are cyclically rotated by i dims.
+  *    Rotation is an isometry — within-copy cosine geometry (clusters,
+  *    near-dup pairs) is preserved EXACTLY — while cross-copy cosines
+  *    decorrelate, mirroring the documents treatment.
+  *  - events keep their timestamp distribution (time-range queries see
+  *    10× density, the realistic growth mode) and write ts back as the
+  *    source wire format (int64 nanos) so Tables.load treats sf1
+  *    identically to the driver SFs.
+  */
+object GenScale {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/root/repo/testdata_sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt, "graft-genscale")
+    spark.sparkContext.setLogLevel("WARN")
+
+    // per-domain shift offsets (≥ domain width, round for readability)
+    val CUST = 100000L; val SUPP = 10000L; val PART = 100000L
+    val ORD = 1000000L; val DOC = 10000L; val VEC = 10000L
+    val EVT = 1000000L; val USR = 10000L
+
+    def shiftCopy(name: String, df: DataFrame, i: Int): DataFrame =
+      name match {
+        case "customer" =>
+          df.withColumn("c_custkey", col("c_custkey") + lit(i * CUST))
+        case "supplier" =>
+          df.withColumn("s_suppkey", col("s_suppkey") + lit(i * SUPP))
+        case "part" =>
+          df.withColumn("p_partkey", col("p_partkey") + lit(i * PART))
+        case "orders" => df
+          .withColumn("o_orderkey", col("o_orderkey") + lit(i * ORD))
+          .withColumn("o_custkey", col("o_custkey") + lit(i * CUST))
+        case "lineitem" => df
+          .withColumn("l_orderkey", col("l_orderkey") + lit(i * ORD))
+          .withColumn("l_partkey", col("l_partkey") + lit(i * PART))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(i * SUPP))
+        case "events" => df
+          .withColumn("event_id", col("event_id") + lit(i * EVT))
+          .withColumn("user_id", col("user_id") + lit(i * USR))
+        case "documents" =>
+          val shifted = df
+            .withColumn("doc_id", col("doc_id") + lit(i * DOC))
+          if (i == 0) shifted
+          else shifted
+            .withColumn("text", concat_ws(" ",
+              transform(split(trim(col("text")), "\\s+"),
+                t => concat(t, lit(s"~$i")))))
+            .withColumn("n_chars", length(col("text")).cast("long"))
+        case "embeddings" =>
+          val shifted = df
+            .withColumn("vec_id", col("vec_id") + lit(i * VEC))
+          if (i == 0) shifted
+          else shifted.withColumn("embedding",
+            concat(
+              slice(col("embedding"), lit(i + 1),
+                size(col("embedding")) - lit(i)),
+              slice(col("embedding"), lit(1), lit(i))))
+        case _ => df // region, nation: fixed dimensions
+      }
+
+    val files = Map("lineitem" -> 16, "events" -> 8, "orders" -> 8)
+    Tables.all.foreach { name =>
+      val base = Tables.load(spark, src, name)
+      val scaled0 =
+        if (name == "region" || name == "nation") base
+        else (0 until copies).map(i => shiftCopy(name, base, i))
+          .reduce(_ unionByName _)
+      // events: write ts back as int64 nanos (the source wire format), so
+      // Tables.load applies the same nanos->micros conversion at sf1
+      val scaled =
+        if (name == "events")
+          scaled0.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+        else scaled0
+      scaled.repartition(files.getOrElse(name, 4))
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[genscale] $name -> $dst (${copies}x)")
+    }
+    spark.stop()
+  }
+}

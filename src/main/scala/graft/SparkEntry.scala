@@ -885,9 +885,11 @@ object SparkEntry {
     // invariants (labels constant along every found edge, canonical = min
     // member, exact membership) are the falsifiable contract.
     "embedding_cluster_lsh" -> ((s, d) => {
+      // bitsPerBand auto-sizes to the corpus (≤4096 vecs → the legacy 8×8
+      // packed geometry, so driver-SF results are bit-identical; at 10×+
+      // the band widens and candidate growth stays linear — r7 sf1 sweep)
       val pairs = Dedup.embeddingLshPairs(T(s, d, "embeddings"),
-        col("vec_id"), col("embedding"), threshold = 0.3, bands = 8,
-        bitsPerBand = 8)
+        col("vec_id"), col("embedding"), threshold = 0.3, bands = 8)
         .localCheckpoint()
       clusterInvariants(pairs, Dedup.duplicateClusters(pairs))
     }),
@@ -938,7 +940,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
       val pairs = Dedup.embeddingLshPairs(emb, col("vec_id"),
-        col("embedding"), threshold = 0.3, bands = 8, bitsPerBand = 8)
+        col("embedding"), threshold = 0.3, bands = 8) // bitsPerBand: auto
       val v = emb.select(col("vec_id"), col("embedding"))
       val withVec = pairs
         .join(v.select(col("vec_id").as("id_a"), col("embedding").as("va")),

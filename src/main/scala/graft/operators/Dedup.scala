@@ -310,26 +310,65 @@ object Dedup {
 
   /** Embedding cosine near-dup with random-hyperplane LSH blocking — the
     * 100 TB path: no external blocking key needed. Each vector gets a
-    * `bands × bitsPerBand`-bit hyperplane signature (Charikar 2002); a pair
+    * `bitsPerBand`-bit hyperplane bucket per band (Charikar 2002); a pair
     * at angular similarity θ agrees on one b-bit band with probability
     * (1 - θ/π)^b, so high-cosine pairs collide in ≥1 of the bands w.h.p.
     * while the bucket join stays linear. Candidates are verified with exact
     * cosine — same shape as [[minhashLsh]]: ids-only shuffle, groupBy
     * bucket pair expansion, semi-join before re-reading vectors.
-    */
+    *
+    * `bitsPerBand = 0` (the default) AUTO-SIZES the band width to the
+    * corpus: `max(8, ceil(log2(n / 16)))` from one bounded count() of the
+    * input (the same driver-scalar class as mergedN's min/max). This is
+    * the parameter 100 TB lives or dies on — the round-7 sf1 sweep
+    * measured the fixed 8-bit geometry going SUPER-linear (×18 at 10×
+    * data): a b-bit band has only 2^b buckets, so occupancy grows ∝ N and
+    * verification pairs ∝ N²/2^b. Auto keeps 2^b ∝ N — candidates stay
+    * ∝ N. At ≤4096 vectors auto lands on the legacy 8×8 packed geometry,
+    * bit-identical to an explicit `bitsPerBand = 8`.
+    *
+    * When `bands × bitsPerBand > 64`, each band draws an independent
+    * hyperplane signature (seed-offset per band) instead of slicing one
+    * packed 64-bit word — band width is then unbounded. Wider bands lower
+    * per-band match probability for NON-identical pairs (recall at the
+    * threshold is probabilistic, as with any LSH geometry; raise `bands`
+    * to buy it back); identical vectors collide on every band at any
+    * width, so the recall-of-identical invariant is exact regardless. */
   def embeddingLshPairs(vecs: DataFrame, id: Column, vec: Column,
                         threshold: Double, bands: Int = 8,
-                        bitsPerBand: Int = 8, seed: Long = 42L,
+                        bitsPerBand: Int = 0, seed: Long = 42L,
                         bucketCap: Int = 10000): DataFrame = {
-    require(bands * bitsPerBand <= 64)
-    val sig = vecs.select(id.as("vec_id"),
-      GraftFunctions.hyperplaneSimhash(vec, bands * bitsPerBand, seed)
-        .as("hsig"))
-    val mask = (1L << bitsPerBand) - 1
-    val bandCols = array((0 until bands).map(b =>
-      shiftright(col("hsig"), b * bitsPerBand).bitwiseAND(lit(mask))): _*)
-    val banded = sig.select(col("vec_id"),
-      posexplode(bandCols).as(Seq("band", "bucket")))
+    require(bands > 0, "need bands > 0")
+    val bits =
+      if (bitsPerBand > 0) bitsPerBand
+      else {
+        val n = vecs.select(id).count().max(1L)
+        math.min(24, math.max(8,
+          math.ceil(math.log(math.max(1.0, n / 16.0)) / math.log(2)).toInt))
+      }
+    require(bits <= 62, s"bitsPerBand=$bits exceeds the 62-bit hash range")
+    val banded =
+      if (bands * bits <= 64) {
+        // packed geometry: ONE fused signature, band buckets are bit
+        // slices — one kernel pass per vector (the round-6 shape)
+        val sig = vecs.select(id.as("vec_id"),
+          GraftFunctions.hyperplaneSimhash(vec, bands * bits, seed)
+            .as("hsig"))
+        val mask = (1L << bits) - 1
+        val bandCols = array((0 until bands).map(b =>
+          shiftright(col("hsig"), b * bits).bitwiseAND(lit(mask))): _*)
+        sig.select(col("vec_id"),
+          posexplode(bandCols).as(Seq("band", "bucket")))
+      } else {
+        // wide geometry: per-band independent signatures — band width no
+        // longer capped by one 64-bit word (bands × bits kernel dots per
+        // vector, map-side codegen, still linear)
+        val bandCols = array((0 until bands).map(b =>
+          GraftFunctions.hyperplaneSimhash(vec, bits,
+            seed + 0x9E3779B97F4A7CL * (b + 1))): _*)
+        vecs.select(id.as("vec_id"),
+          posexplode(bandCols).as(Seq("band", "bucket")))
+      }
     val candidates = bucketPairs(banded, "vec_id", bucketCap)
     val candIds = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as("cand_id"))

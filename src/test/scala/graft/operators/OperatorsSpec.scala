@@ -503,6 +503,31 @@ class EmbeddingLshSpec extends SparkSpecBase {
     // identical-direction pair shares every band -> always a candidate
     assert(r == Set((1L, 2L)))
   }
+
+  test("auto band width: legacy-identical at small n, linear-safe when wide") {
+    val vecs = (0 until 300).map { i =>
+      val ang = i * math.Pi / 150
+      (i.toLong,
+        Array(math.cos(ang).toFloat, math.sin(ang).toFloat, 0.1f, 0.2f))
+    }.toDF("vec_id", "embedding")
+    def pairs(bpb: Int) =
+      Dedup.embeddingLshPairs(vecs, col("vec_id"), col("embedding"),
+        threshold = 0.995, bands = 8, bitsPerBand = bpb)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // n = 300 ≤ 4096: auto must resolve to the legacy 8×8 packed
+    // geometry, bit-identical to the explicit form
+    assert(pairs(0) == pairs(8))
+    // wide geometry (bands × bits > 64 → per-band independent
+    // signatures): same-direction vectors still collide on EVERY band
+    // (recall-of-identical is exact at any width) and survive verification
+    val dup = Seq((1000L, Array(3f, 0f, 0f, 0f)),
+      (1001L, Array(5f, 0f, 0f, 0f)), (1002L, Array(0f, 7f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val wide = Dedup.embeddingLshPairs(dup, col("vec_id"), col("embedding"),
+        threshold = 0.99, bands = 8, bitsPerBand = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(wide == Set((1000L, 1001L)))
+  }
 }
 
 class IvfPersistenceSpec extends SparkSpecBase {
