@@ -186,6 +186,17 @@ object Dedup {
     * hamming verification then makes precision exact too. Larger maxHamming
     * values are rejected rather than silently losing pairs.
     *
+    * Scale limit (same class as the hyperplane-LSH finding the r7 sf1
+    * sweep measured, but NOT auto-fixable here): the bucket space is
+    * 2^(sigBits/bands), fixed by the pigeonhole guarantee — 4 bands of 16
+    * bits for hamming ≤ 3 on 64-bit signatures. Beyond ~10⁸ docs average
+    * occupancy exceeds `bucketCap` and recall degrades cap-bounded (the
+    * cap keeps cost linear; it cannot keep recall exact). Past that scale,
+    * widen the signature (e.g. two 64-bit simhashes over disjoint token
+    * halves → 8×16-bit bands) or pre-partition the corpus; at the sf1
+    * decade (50k docs over 65k buckets/band) occupancy is ~1 and the
+    * sweep measured ratio 1.2.
+    *
     * Same shuffle economics as [[minhashLsh]]: the grouped pair expansion
     * evaluates the signature subtree once (no self-join), carries only
     * (doc_id, sim) = 16 bytes/row through the bucket shuffle, and the
