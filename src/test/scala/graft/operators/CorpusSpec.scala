@@ -131,7 +131,9 @@ class CorpusSpec extends SparkSpecBase {
         val len = 1 + rnd.nextInt(12)
         (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
       }
-      val kws = Seq(vocab(rnd.nextInt(vocab.size)), vocab(rnd.nextInt(vocab.size)))
+      // 4 keyword slots (duplicates possible): with >2 contributions the
+      // IEEE sum order matters, exercising the sorted-fold contract
+      val kws = Seq.fill(4)(vocab(rnd.nextInt(vocab.size)))
       val got = Corpus.bm25TopK(corpus.toDF("doc_id", "text"),
           col("doc_id"), col("text"), Seq((0, kws)).toDF("query_id", "kws"),
           k = 10)
@@ -147,7 +149,9 @@ class CorpusSpec extends SparkSpecBase {
         BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       val expect = toks.flatMap { case (id, ts) =>
         val dl = ts.size.toLong
-        val terms = kws.filter(ts.contains) // one contribution per kw slot
+        // one contribution per kw slot, summed in SORTED term order — the
+        // operator's documented fold order (bit-exact across engines)
+        val terms = kws.filter(ts.contains).sorted
         if (terms.isEmpty) None
         else Some(id -> r4(terms.map { t =>
           val tf = ts.count(_ == t).toLong
