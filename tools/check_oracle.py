@@ -1,10 +1,13 @@
 #!/usr/bin/env python3
 """Local pre-validation of SparkEntry oracles (mimics the driver's check).
 
-Usage: python3 tools/check_oracle.py /tmp/verify_out /root/testdata/sf0.01
+Usage: python3 tools/check_oracle.py /tmp/verify_out /root/testdata/sf0.01 \
+           [--only name1,name2]
 Loads each <outDir>/<name> parquet result, runs oracle_sql.json[name] in
 DuckDB with the sf tables registered as views, sorts both frames by all
-columns, and compares values.
+columns, and compares values. `--only` restricts the compare to the named
+queries — pass the same list you gave Verify's name filter, otherwise
+every un-dumped query reports as a spurious "unreadable" failure.
 """
 import json
 import math
@@ -50,12 +53,14 @@ def eq(a, b) -> bool:
     return a == b
 
 
-def main(outdir: str, sfdir: str) -> int:
+def main(outdir: str, sfdir: str, only=None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    if only is not None:
+        oracles = {k: v for k, v in oracles.items() if k in only}
     fails = 0
     for name, sql in sorted(oracles.items()):
         try:
@@ -98,6 +103,8 @@ def main(outdir: str, sfdir: str) -> int:
     for name in sorted(os.listdir(outdir)):
         if name == "oracle_sql.json" or name in oracles:
             continue
+        if only is not None and name not in only:
+            continue
         try:
             n = len(pd.read_parquet(f"{outdir}/{name}"))
             print(f"rows {name} ({n} rows)")
@@ -109,4 +116,10 @@ def main(outdir: str, sfdir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    only = None
+    args = sys.argv[1:]
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    sys.exit(main(args[0], args[1], only))
