@@ -281,6 +281,20 @@ class DedupScaleSpec extends SparkSpecBase {
     assert(ev.getMessage.contains("embeddingLshPairs"))
     assert(Dedup.embeddingLshPairs(vecs, col("vec_id"), col("embedding"),
       threshold = 0.99).count() >= 0)
+
+    // boundary exactness: a block of n rows estimates n(n-1)/2 pairs —
+    // the guard admits exactly that bound and trips one below it
+    val n = 100L
+    val exact = n * (n - 1) / 2
+    val block = (0 until n.toInt).map(i => (i.toLong, s"t$i", "B"))
+      .toDF("doc_id", "text", "src")
+    assert(Dedup.tokenJaccardPairs(block, col("doc_id"), col("text"),
+      Seq(col("src")), threshold = 0.99,
+      maxPairsPerBlock = exact).count() >= 0)
+    intercept[graft.GraftException] {
+      Dedup.tokenJaccardPairs(block, col("doc_id"), col("text"),
+        Seq(col("src")), threshold = 0.99, maxPairsPerBlock = exact - 1)
+    }
   }
 
   test("bucketPairs degrades gracefully on an adversarial hot bucket") {
