@@ -319,6 +319,17 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** The auto band width: `2^bits` buckets must track corpus size or
+    * occupancy — and with it candidate verification — grows ∝ N (the
+    * round-7 sf1 finding). Target ~16 rows/bucket, floor 8 bits (the
+    * legacy packed geometry), cap 24 (16M buckets outlasts any corpus a
+    * single band shuffle can hold). Exposed for the spec that pins the
+    * scaling law. */
+  private[graft] def autoBandBits(n: Long): Int =
+    math.min(24, math.max(8,
+      math.ceil(math.log(math.max(1.0, n.max(1L) / 16.0)) /
+        math.log(2)).toInt))
+
   /** Embedding cosine near-dup with random-hyperplane LSH blocking — the
     * 100 TB path: no external blocking key needed. Each vector gets a
     * `bitsPerBand`-bit hyperplane bucket per band (Charikar 2002); a pair
@@ -352,11 +363,7 @@ object Dedup {
     require(bands > 0, "need bands > 0")
     val bits =
       if (bitsPerBand > 0) bitsPerBand
-      else {
-        val n = vecs.select(id).count().max(1L)
-        math.min(24, math.max(8,
-          math.ceil(math.log(math.max(1.0, n / 16.0)) / math.log(2)).toInt))
-      }
+      else autoBandBits(vecs.select(id).count())
     require(bits <= 62, s"bitsPerBand=$bits exceeds the 62-bit hash range")
     val banded =
       if (bands * bits <= 64) {

@@ -528,6 +528,24 @@ class EmbeddingLshSpec extends SparkSpecBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(wide == Set((1000L, 1001L)))
   }
+
+  test("autoBandBits keeps bucket space tracking the corpus (scaling law)") {
+    // the sf1 finding as a law: 2^bits must grow ∝ n so occupancy — and
+    // with it candidate verification — stays bounded
+    assert(Dedup.autoBandBits(0L) == 8 && Dedup.autoBandBits(200L) == 8)
+    assert(Dedup.autoBandBits(4096L) == 8)   // legacy 8×8 up to here
+    assert(Dedup.autoBandBits(4097L) == 9)   // first widening step
+    assert(Dedup.autoBandBits(20000L) == 11) // the sf1 geometry
+    for (n <- Seq(1000L, 10000L, 100000L, 10000000L, 1000000000L)) {
+      val b = Dedup.autoBandBits(n)
+      // occupancy n / 2^bits stays within a constant band (≤ 16) until
+      // the 24-bit cap, and bits is monotone in n
+      if (b < 24) assert(n.toDouble / (1L << b) <= 16.0,
+        s"occupancy unbounded at n=$n (bits=$b)")
+      assert(Dedup.autoBandBits(n * 2) >= b)
+    }
+    assert(Dedup.autoBandBits(Long.MaxValue / 4) == 24) // cap holds
+  }
 }
 
 class IvfPersistenceSpec extends SparkSpecBase {
