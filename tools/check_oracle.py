@@ -54,10 +54,22 @@ def eq(a, b) -> bool:
 
 
 def main(outdir: str, sfdir: str, only=None) -> int:
+    import os
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # driver SFs are single files; GenScale's sf1 tables are Spark
+        # output DIRECTORIES of part files — glob those
+        p = f"{sfdir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+    # sf1 wire format: events.ts is int64 NANOS (the driver SFs carry
+    # TIMESTAMP(NANOS), which DuckDB reads natively) — expose the same
+    # TIMESTAMP surface either way
+    if con.execute("SELECT typeof(ts) FROM events LIMIT 1").fetchone()[0] \
+            == "BIGINT":
+        con.execute("CREATE OR REPLACE VIEW events AS "
+                    "SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
+                    f"FROM '{sfdir}/events.parquet/*.parquet'")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     if only is not None:
         oracles = {k: v for k, v in oracles.items() if k in only}
