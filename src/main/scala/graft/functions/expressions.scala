@@ -89,6 +89,63 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Plan-time centroid bank for [[NearestCentroidId]]: ids ascending with
+  * their vectors. `assign` replays CosineSimilarity's exact pairwise loop
+  * (per-pair n = min length, dot/na/nb in the same summation order, zero-norm
+  * → 0.0) and keeps a strictly-greater winner while scanning ids ascending —
+  * so the argmax is bit-for-bit the `crossJoin(broadcast) + max_by(struct(
+  * cos, -centroid_id))` form it replaces, including the tie → lowest-id rule,
+  * without materializing |corpus| × |centroids| rows through an aggregate
+  * whose var-length buffer (the embedding payload) demotes hash aggregation
+  * to a sort — measured at sf1: 4.2 GB spill per assignment, fixed to zero. */
+final class CentroidBank(val ids: Array[Long], val mat: Array[Array[Float]])
+    extends Serializable {
+  require(ids.length == mat.length && ids.nonEmpty,
+    "centroid bank needs at least one centroid with one id each")
+  def assign(x: ArrayData): Long = {
+    var best = ids(0)
+    var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < mat.length) {
+      val v = mat(c)
+      val n = math.min(x.numElements(), v.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = x.getFloat(i).toDouble
+        val yi = v(i).toDouble
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      val cos =
+        if (na == 0.0 || nb == 0.0) 0.0
+        else dot / (math.sqrt(na) * math.sqrt(nb))
+      if (cos > bestCos) { bestCos = cos; best = ids(c) }
+      c += 1
+    }
+    best
+  }
+}
+
+/** Nearest-centroid id (argmax cosine) of a float vector against a
+  * plan-time [[CentroidBank]] — the map-only IVF assignment kernel: the
+  * centroid matrix rides into codegen as a reference object, so assignment
+  * is one fused projection over the corpus scan with no join, no aggregate
+  * and no shuffle. */
+case class NearestCentroidId(child: Expression, bank: CentroidBank)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = bank.assign(v.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidBank", bank,
+      classOf[CentroidBank].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.assign($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroidId =
+    copy(child = c)
+}
+
 /** MinHash signature (k 64-bit minima) of a token array — see
   * GraftHash.minHashSignature. One row in, fixed-width array<long> out. */
 case class MinHashSignature(child: Expression, k: Int, seed: Long)
@@ -374,6 +431,8 @@ object GraftFunctions {
     toCol(NGramRepetition(toExpr(tokens), n))
   def repetitionCounts(tokens: Column): Column =
     toCol(RepetitionCounts(toExpr(tokens)))
+  def nearestCentroidId(vec: Column, bank: CentroidBank): Column =
+    toCol(NearestCentroidId(toExpr(vec), bank))
   def int8Scale(vec: Column): Column = toCol(Int8Scale(toExpr(vec)))
   def int8Codes(vec: Column): Column = toCol(Int8Codes(toExpr(vec)))
   def int8Dot(a: Column, b: Column): Column =

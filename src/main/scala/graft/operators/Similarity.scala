@@ -142,22 +142,35 @@ object Similarity {
     centroids
   }
 
-  /** Nearest-centroid assignment (partial-agg max_by, no window): one row
-    * per corpus vector with its winning centroid_id. */
+  /** Nearest-centroid assignment as ONE map-only projection: the centroid
+    * set is materialized on the driver (bounded — nlist is an index design
+    * constant, and broadcast-based assignment had the same driver-residency
+    * requirement) into a [[graft.functions.CentroidBank]], and a codegen
+    * argmax-cosine expression tags each corpus row in place. No join, no
+    * aggregate, no shuffle — the embedding never leaves its row.
+    *
+    * The previous form (crossJoin(broadcast) + groupBy(vec_id).max_by with
+    * the embedding in the payload) was found spilling at the sf1 decade:
+    * a var-length max_by buffer demotes hash aggregation to sort-based, so
+    * every assignment sorted |corpus| × |centroids| expanded vector rows —
+    * 4.2 GB spill per assignment at 20k × 800, corpus-quadratic at 100 TB.
+    * The bank kernel replays the same cosine loop and tie rule (strictly-
+    * greater scan in ascending centroid_id order ≡ max_by(struct(cos,
+    * -centroid_id))), so results are bit-identical. */
   private def assignToCentroids(corpus: DataFrame,
                                 centroids: DataFrame): DataFrame = {
-    val assigned = corpus.crossJoin(broadcast(centroids))
-      .withColumn("cos_c",
-        GraftFunctions.cosineSimilarity(col("embedding"), col("centroid")))
-    // Argmax as a partial-aggregating max_by (tie → lowest centroid_id, like
-    // the window form's cos_c desc / centroid_id asc ordering). The embedding
-    // rides in the max_by payload so no join-back to the corpus is needed.
-    assigned.groupBy(col("vec_id"))
-      .agg(max_by(
-        struct(col("centroid_id"), col("embedding")),
-        struct(col("cos_c"), (-col("centroid_id")).as("tie"))).as("best"))
-      .select(col("best.centroid_id").as("centroid_id"), col("vec_id"),
-        col("best.embedding").as("embedding"))
+    val cents = centroids
+      .select(col("centroid_id").cast("long"),
+        col("centroid").cast("array<float>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    val bank = new graft.functions.CentroidBank(
+      cents.map(_._1), cents.map(_._2))
+    corpus.select(
+      GraftFunctions.nearestCentroidId(col("embedding"), bank)
+        .as("centroid_id"),
+      col("vec_id"), col("embedding"))
   }
 
   /** IVF bucketing: assign every corpus vector to its nearest centroid.
@@ -166,7 +179,10 @@ object Similarity {
     ivfIndexFrom(corpus, strideCentroids(corpus, centroidStride))
 
   /** IVF bucketing against an explicit centroid frame (e.g. one refined by
-    * [[trainCentroids]]). */
+    * [[trainCentroids]]). The centroid frame is materialized on the DRIVER
+    * at plan time (it must be small — nlist × dim is an index design
+    * constant, the same bound the former broadcast form imposed); the
+    * corpus side is never joined, aggregated, or shuffled. */
   def ivfIndexFrom(corpus: DataFrame, centroids: DataFrame): DataFrame =
     assignToCentroids(corpus, centroids)
 

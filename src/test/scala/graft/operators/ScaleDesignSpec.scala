@@ -90,10 +90,40 @@ class SimilarityScaleSpec extends SparkSpecBase {
     assert(r.count() == 4 * 5)
   }
 
-  test("ivfIndex argmax is a partial max_by aggregate, not a window") {
+  test("ivfIndex assignment is MAP-ONLY: no join, aggregate, or exchange") {
+    // the sf1 sweep caught the old crossJoin+max_by form spilling 4.2 GB
+    // per assignment (var-length agg buffer -> sort-based aggregation over
+    // |corpus| x |centroids| expanded vector rows); the fix is a codegen
+    // argmax expression over the scan — pin that shape
     val plan = Similarity.ivfIndex(corpus, centroidStride = 20)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), s"window argmax is back:\n$plan")
+    for (bad <- Seq("Window", "Join", "Aggregate", "Exchange"))
+      assert(!plan.contains(bad), s"assignment is no longer map-only " +
+        s"($bad appeared):\n$plan")
+  }
+
+  test("map-only assignment ≡ the crossJoin+max_by reference, ties to " +
+    "lowest centroid_id") {
+    import graft.functions.GraftFunctions
+    // duplicate centroid vectors force bit-exact cosine ties; a zero-norm
+    // corpus vector ties ALL centroids at cos 0.0
+    val cents = Seq(
+      (3L, Array(1f, 0f)), (7L, Array(1f, 0f)), // identical pair
+      (11L, Array(0f, 1f))).toDF("centroid_id", "centroid")
+    val tieCorpus = corpus.union(Seq(
+      (900L, Array(0f, 0f)), (901L, Array(1f, 0f))).toDF("vec_id", "embedding"))
+    val got = Similarity.ivfIndexFrom(tieCorpus, cents)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    val ref = tieCorpus.crossJoin(broadcast(cents))
+      .withColumn("cos_c", GraftFunctions.cosineSimilarity(
+        col("embedding"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("centroid_id"),
+        struct(col("cos_c"), (-col("centroid_id")).as("tie"))).as("centroid_id"))
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    assert(got == ref)
+    assert(got(901L) == 3L, "tie must resolve to the lowest centroid_id")
+    assert(got(900L) == 3L, "zero-norm vector ties everything -> lowest id")
   }
 
   test("TopK-ranked results equal the window-rank reference") {
