@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Synthetic scale-up generator for the sf1 sweep: writes a `copies`×
@@ -20,16 +20,48 @@ import org.apache.spark.sql.functions._
   *    duplicate/near-dup structure replicates exactly (the dedup workload
   *    scales linearly); cross-copy texts share NO shingles, so replicas
   *    don't masquerade as a 10×-denser duplicate graph.
-  *  - embeddings: copy i's vectors are cyclically rotated by i dims.
-  *    Rotation is an isometry — within-copy cosine geometry (clusters,
-  *    near-dup pairs) is preserved EXACTLY — while cross-copy cosines
-  *    decorrelate, mirroring the documents treatment.
+  *  - embeddings: copy i's vectors are cyclically rotated by i mod dim
+  *    dims, and copies i ≥ dim additionally flip signs by a per-copy
+  *    seeded Rademacher pattern (the rotation space is exhausted past
+  *    dim copies — without the signs, copies i and i+dim would be
+  *    IDENTICAL vectors under new ids, fabricating a cross-copy duplicate
+  *    graph). Both maps are isometries — within-copy cosine geometry
+  *    (clusters, near-dup pairs) is preserved EXACTLY — while any two
+  *    distinct copies differ by rotation or sign pattern, so cross-copy
+  *    cosines decorrelate, mirroring the documents treatment. Copies
+  *    1..dim-1 are bit-identical to the pre-sign generator (the sf1
+  *    artifacts stay reproducible).
   *  - events keep their timestamp distribution (time-range queries see
   *    10× density, the realistic growth mode) and write ts back as the
   *    source wire format (int64 nanos) so Tables.load treats sf1
   *    identically to the driver SFs.
   */
 object GenScale {
+
+  /** Copy-i isometry for an `array<float>` embedding column of width `dim`:
+    * cyclic rotation by i mod dim, plus — once the rotation space is
+    * exhausted (i ≥ dim) — an elementwise ±1 pattern from [[signsFor]].
+    * i == 0 is the identity. */
+  def embeddingTransform(c: Column, i: Int, dim: Int): Column = {
+    val r = i % dim
+    val rotated =
+      if (r == 0) c
+      else concat(slice(c, lit(r + 1), size(c) - lit(r)), slice(c, lit(1), lit(r)))
+    if (i < dim) rotated
+    else zip_with(rotated, typedlit(signsFor(i, dim).toSeq),
+      (x, s) => (x * s).cast("float"))
+  }
+
+  /** Deterministic Rademacher pattern for copy i (splitmix64 bit per dim):
+    * the same seed always yields the same signs, so generation is
+    * reproducible run-to-run. */
+  def signsFor(i: Int, dim: Int): Array[Float] =
+    Array.tabulate(dim) { k =>
+      var z = i.toLong * 0x9E3779B97F4A7C15L + k.toLong * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0f else -1.0f
+    }
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -43,6 +75,9 @@ object GenScale {
     val CUST = 100000L; val SUPP = 10000L; val PART = 100000L
     val ORD = 1000000L; val DOC = 10000L; val VEC = 10000L
     val EVT = 1000000L; val USR = 10000L
+
+    lazy val embeddingDim = Tables.load(spark, src, "embeddings")
+      .select(size(col("embedding"))).first.getInt(0)
 
     def shiftCopy(name: String, df: DataFrame, i: Int): DataFrame =
       name match {
@@ -76,10 +111,7 @@ object GenScale {
             .withColumn("vec_id", col("vec_id") + lit(i * VEC))
           if (i == 0) shifted
           else shifted.withColumn("embedding",
-            concat(
-              slice(col("embedding"), lit(i + 1),
-                size(col("embedding")) - lit(i)),
-              slice(col("embedding"), lit(1), lit(i))))
+            embeddingTransform(col("embedding"), i, embeddingDim))
         case _ => df // region, nation: fixed dimensions
       }
 
