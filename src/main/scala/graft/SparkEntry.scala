@@ -1004,11 +1004,15 @@ object SparkEntry {
         shortlist = 25)
     }),
 
+    // nlist follows the √N law (Similarity.autoStride): a pinned stride
+    // makes nlist ∝ N and assignment ∝ N² — measured ×100/decade² at the
+    // sf10 sweep before this query was re-parameterized.
     "similarity_ivf" -> ((s, d) => {
       val e = T(s, d, "embeddings")
-      val idx = Similarity.ivfIndex(e, centroidStride = 25)
+      val stride = Similarity.autoStride(e)
+      val idx = Similarity.ivfIndex(e, centroidStride = stride)
       Similarity.ivfTopK(e.filter(col("vec_id") < 8), idx, e,
-        centroidStride = 25, nProbe = 3, k = 5)
+        centroidStride = stride, nProbe = 3, k = 5)
     }),
 
     // Hybrid retrieval: a lexical ranker (keyword-overlap evidence) and a
@@ -1199,8 +1203,8 @@ object SparkEntry {
     // KMeansIvfSpec; the untrained IVF path is fully row-oracled above.)
     "similarity_ivf_trained" -> ((s, d) => {
       val e = T(s, d, "embeddings")
-      val centroids = Similarity.trainCentroids(e, centroidStride = 25,
-        iters = 2)
+      val centroids = Similarity.trainCentroids(e,
+        centroidStride = Similarity.autoStride(e), iters = 2)
       val idx = Similarity.ivfIndexFrom(e, centroids)
       val res = Similarity.ivfTopKWith(e.filter(col("vec_id") < 8), idx,
         centroids, nProbe = 3, k = 5)
@@ -2573,7 +2577,9 @@ object SparkEntry {
         |                  CAST(unnest(embedding) AS DOUBLE) AS v
         |           FROM embeddings),
         | cent AS (SELECT vec_id AS centroid_id, i, v FROM x
-        |          WHERE vec_id % 25 = 0),
+        |          WHERE vec_id % (SELECT GREATEST(1, CAST(FLOOR(
+        |                   sqrt(count(*)) / 2.0) AS INT))
+        |                 FROM embeddings) = 0),
         | asg0 AS (SELECT c.vec_id, ct.centroid_id,
         |            sum(c.v * ct.v) AS dot, sum(c.v * c.v) AS nc,
         |            sum(ct.v * ct.v) AS nt

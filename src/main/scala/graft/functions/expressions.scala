@@ -102,20 +102,42 @@ final class CentroidBank(val ids: Array[Long], val mat: Array[Array[Float]])
     extends Serializable {
   require(ids.length == mat.length && ids.nonEmpty,
     "centroid bank needs at least one centroid with one id each")
+  // full-length centroid norms, summed in the same ascending order the
+  // pairwise loop uses — when the row and centroid lengths are EQUAL the
+  // prefix norm IS the full norm, so caching it is bit-exact; unequal
+  // lengths fall back to the per-pair prefix loop below
+  @transient private lazy val normSq: Array[Double] =
+    mat.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { val d = v(i).toDouble; s += d * d; i += 1 }
+      s
+    }
   def assign(x: ArrayData): Long = {
+    // one ArrayData round-trip per ROW (not per pair): the sf10 profile
+    // showed the per-element getFloat virtual calls dominating assignment
+    val xa = x.toFloatArray()
+    var naFull = 0.0
+    var j = 0
+    while (j < xa.length) { val d = xa(j).toDouble; naFull += d * d; j += 1 }
     var best = ids(0)
     var bestCos = Double.NegativeInfinity
     var c = 0
     while (c < mat.length) {
       val v = mat(c)
-      val n = math.min(x.numElements(), v.length)
       var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < n) {
-        val xi = x.getFloat(i).toDouble
-        val yi = v(i).toDouble
-        dot += xi * yi; na += xi * xi; nb += yi * yi
-        i += 1
+      if (v.length == xa.length) {
+        var i = 0
+        while (i < v.length) { dot += xa(i).toDouble * v(i).toDouble; i += 1 }
+        na = naFull; nb = normSq(c)
+      } else {
+        val n = math.min(xa.length, v.length)
+        var i = 0
+        while (i < n) {
+          val xi = xa(i).toDouble
+          val yi = v(i).toDouble
+          dot += xi * yi; na += xi * xi; nb += yi * yi
+          i += 1
+        }
       }
       val cos =
         if (na == 0.0 || nb == 0.0) 0.0

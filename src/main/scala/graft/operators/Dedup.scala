@@ -231,12 +231,17 @@ object Dedup {
           |    y -> struct(x.doc_id AS id_a, x.sim AS sim_a,
           |                y.doc_id AS id_b, y.sim AS sim_b))))""".stripMargin))
         .as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.sim_a"), col("p.sim_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming",
-        GraftFunctions.hamming(col("sim_a"), col("sim_b")))
+      // hamming BEFORE the pair dedup: it's a pure per-pair function
+      // (same value in every band a pair lands in), and one xor+popcount
+      // per candidate is map-side — so the dropDuplicates exchange
+      // carries only TRUE near-dup pairs at 20 B/row instead of every
+      // candidate with both 8-byte signatures aboard. The sf10 sweep
+      // measured the difference: 14.6 GB of sort spill at 500k docs came
+      // from deduplicating the raw candidate stream.
+      .select(col("p.id_a"), col("p.id_b"),
+        GraftFunctions.hamming(col("p.sim_a"), col("p.sim_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Fail-fast misuse guard for the quadratic-per-block pair operators:

@@ -109,6 +109,19 @@ object Similarity {
     corpus.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
 
+  /** Corpus-derived centroid stride for nlist ≈ 2·√N — the classic IVF
+    * sizing rule (nlist proportional to √N keeps assignment N·nlist =
+    * O(N^1.5) and per-probe bucket size N/nlist = O(√N), balancing build
+    * vs probe as the corpus grows; FAISS guidance puts nlist at c·√N).
+    * A FIXED stride is the scale trap: nlist then grows ∝ N and
+    * assignment is N²/stride — the sf10 sweep measured exactly that
+    * (×100 assignment cost per decade² under a pinned stride). One
+    * bounded count; floor(sqrt(N)/2) is IEEE-identical in DuckDB
+    * (`GREATEST(1, CAST(FLOOR(sqrt(count(*)) / 2.0) AS INT))`) so
+    * stride-keyed oracles stay reproducible. */
+  def autoStride(corpus: DataFrame): Int =
+    math.max(1, math.floor(math.sqrt(corpus.count().toDouble) / 2.0).toInt)
+
   /** Lloyd-refined centroids: start from the stride sample and run `iters`
     * assign/mean rounds (spherical k-means — assignment by cosine, mean
     * per coordinate). Each round is one broadcast of the (small) centroid

@@ -90,6 +90,21 @@ class SimilarityScaleSpec extends SparkSpecBase {
     assert(r.count() == 4 * 5)
   }
 
+  test("autoStride follows the √N law: nlist ≈ 2·√N, never ∝ N") {
+    // a pinned stride makes assignment N²/stride — the sf10 finding; the
+    // auto rule must keep stride growing like √N so nlist/√N stays ~2
+    for ((n, want) <- Seq(20 -> 2, 200 -> 7, 2000 -> 22, 20000 -> 70)) {
+      val df = spark.range(n).toDF("vec_id")
+      assert(Similarity.autoStride(df) == want,
+        s"autoStride($n) must be floor(sqrt(n)/2)")
+      val nlist = (n + want - 1) / want
+      assert(nlist <= 3 * math.sqrt(n) && nlist >= math.sqrt(n),
+        s"nlist $nlist at n=$n left the √N band")
+    }
+    // degenerate corpora still get a positive stride
+    assert(Similarity.autoStride(spark.range(1).toDF("vec_id")) == 1)
+  }
+
   test("ivfIndex assignment is MAP-ONLY: no join, aggregate, or exchange") {
     // the sf1 sweep caught the old crossJoin+max_by form spilling 4.2 GB
     // per assignment (var-length agg buffer -> sort-based aggregation over
