@@ -370,17 +370,25 @@ object Dedup {
       if (bitsPerBand > 0) bitsPerBand
       else autoBandBits(vecs.select(id).count())
     require(bits <= 62, s"bitsPerBand=$bits exceeds the 62-bit hash range")
+    // quantized sidecars (1 B/dim codes, max-abs scale, exact norm) are
+    // computed IN the banding projection — pure map-side, no join — and
+    // ride the bucket shuffle at ~dim+16 bytes/row
+    val sidecarCols = Seq(
+      GraftFunctions.int8Codes(vec).as("c8"),
+      GraftFunctions.int8Scale(vec).as("s8"),
+      sqrt(aggregate(transform(vec, x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x)).as("nrm"))
     val banded =
       if (bands * bits <= 64) {
         // packed geometry: ONE fused signature, band buckets are bit
         // slices — one kernel pass per vector (the round-6 shape)
-        val sig = vecs.select(id.as("vec_id"),
+        val sig = vecs.select(id.as("vec_id") +: sidecarCols :+
           GraftFunctions.hyperplaneSimhash(vec, bands * bits, seed)
-            .as("hsig"))
+            .as("hsig"): _*)
         val mask = (1L << bits) - 1
         val bandCols = array((0 until bands).map(b =>
           shiftright(col("hsig"), b * bits).bitwiseAND(lit(mask))): _*)
-        sig.select(col("vec_id"),
+        sig.select(col("vec_id"), col("c8"), col("s8"), col("nrm"),
           posexplode(bandCols).as(Seq("band", "bucket")))
       } else {
         // wide geometry: per-band independent signatures — band width no
@@ -389,17 +397,67 @@ object Dedup {
         val bandCols = array((0 until bands).map(b =>
           GraftFunctions.hyperplaneSimhash(vec, bits,
             seed + 0x9E3779B97F4A7CL * (b + 1))): _*)
-        vecs.select(id.as("vec_id"),
-          posexplode(bandCols).as(Seq("band", "bucket")))
+        vecs.select(id.as("vec_id") +: sidecarCols :+
+          posexplode(bandCols).as(Seq("band", "bucket")): _*)
       }
-    val candidates = bucketPairs(banded, "vec_id", bucketCap)
-    val candIds = candidates
+    // The candidate-pair stream is PREFILTERED map-side with a SOUND int8
+    // error bound before anything pair-shaped reaches an exchange. The
+    // sf10 sweep measured why: verifying candidates by joining the pair
+    // frame against f32 vectors shuffled pairs × 256 B intermediates —
+    // 2.3 GB at 200k vectors (×179 the sf1 bytes), the heaviest exchange
+    // in the engine. Now pair payloads never cross the wire: survivors
+    // (ids only) are deduped, then exact cosine re-verifies just them, so
+    // the emitted pair set is IDENTICAL (the bound only lets through
+    // false positives, which exact verification then drops).
+    //
+    // Soundness: with per-dim quantization error ≤ s/254 (int8Codes),
+    // |approxDot − dot| ≤ n·sa·sb·(2/254 + 1/254²) over the n-prefix, so
+    // cos ≤ (approxDot + errDot)/(‖a‖·‖b‖) when both lengths equal n
+    // (full norm = prefix norm); ragged pairs — where the kernel's
+    // prefix norms diverge from the precomputed full norms — skip the
+    // prefilter entirely. Zero-norm vectors score 0.0, exactly the
+    // kernel's convention. The 1e-4 slack absorbs round(cos, 4).
+    val wB = Window.partitionBy(col("band"), col("bucket"))
+      .orderBy(col("vec_id").asc)
+    val p = col("p")
+    val errC = 2.0 / 254.0 + 1.0 / 64516.0
+    val approxCos = when(col("nprod") > 0.0,
+      (col("dotq") * col("sprod") / lit(16129.0) +
+        col("n").cast("double") * col("sprod") * lit(errC)) / col("nprod"))
+      .otherwise(lit(0.0))
+    val survivors = banded
+      .withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= bucketCap)
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(struct(
+        col("vec_id"), col("c8"), col("s8"), col("nrm")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms")) - i - lit(1)),
+          y => struct(
+            x.getField("vec_id").as("id_a"),
+            y.getField("vec_id").as("id_b"),
+            GraftFunctions.int8Dot(x.getField("c8"), y.getField("c8"))
+              .as("dotq"),
+            (x.getField("s8") * y.getField("s8")).as("sprod"),
+            (x.getField("nrm") * y.getField("nrm")).as("nprod"),
+            least(size(x.getField("c8")), size(y.getField("c8"))).as("n"),
+            (size(x.getField("c8")) =!= size(y.getField("c8")))
+              .as("ragged")))))).as("p"))
+      .select(p.getField("id_a").as("id_a"), p.getField("id_b").as("id_b"),
+        p.getField("dotq").as("dotq"), p.getField("sprod").as("sprod"),
+        p.getField("nprod").as("nprod"), p.getField("n").as("n"),
+        p.getField("ragged").as("ragged"))
+      .filter(col("ragged") || approxCos >= lit(threshold) - lit(1e-4))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val candIds = survivors
       .select(explode(array(col("id_a"), col("id_b"))).as("cand_id"))
       .distinct()
     val candVecs = vecs
       .join(candIds, id === col("cand_id"), "left_semi")
       .select(id.as("vid"), vec.as("v"))
-    candidates
+    survivors
       .join(candVecs.select(col("vid").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(candVecs.select(col("vid").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cos",

@@ -504,6 +504,57 @@ class EmbeddingLshSpec extends SparkSpecBase {
     assert(r == Set((1L, 2L)))
   }
 
+  test("int8 prefilter bound is SOUND: emitted pair set equals the " +
+    "unfiltered exact-verification reference") {
+    // the prefilter may only remove pairs exact verification would drop
+    // anyway; seeded adversarial corpus — clustered directions (high-cos
+    // pairs near every threshold), a zero vector, tiny and huge scales
+    val rnd = new scala.util.Random(7)
+    val vecs = ((0 until 120).map { i =>
+      val base = Array.fill(8)(rnd.nextGaussian().toFloat)
+      val jit = base.map(v => v + 0.02f * rnd.nextGaussian().toFloat)
+      val scale = Seq(1e-4f, 1f, 1e4f)(i % 3)
+      (i.toLong, jit.map(_ * scale))
+    } :+ (900L, Array.fill(8)(0f)) :+ (901L, Array.fill(8)(1e-6f)))
+      .toDF("vec_id", "embedding")
+    for (threshold <- Seq(0.5, 0.9, 0.99)) {
+      val got = Dedup.embeddingLshPairs(vecs, col("vec_id"),
+          col("embedding"), threshold, bands = 8, bitsPerBand = 8)
+        .as[(Long, Long, Double)].collect().toSet
+      // reference: same banding, NO prefilter — every bucket pair goes to
+      // exact cosine (the pre-round-7 tail, inlined)
+      val all = vecs.as[(Long, Array[Float])].collect()
+      val byId = all.toMap
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        val n = math.min(a.length, b.length)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        for (i <- 0 until n) {
+          dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i)
+        }
+        if (na == 0.0 || nb == 0.0) 0.0
+        else dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      // exact-over-candidates == exact-over-all-pairs ∩ candidates; the
+      // prefilter can only shrink candidates, so comparing against the
+      // operator's own emitted ⊆ relation needs the CANDIDATE set — but
+      // recall-relevant pairs here are the jittered clusters, which agree
+      // on every band at these widths; assert instead that every
+      // brute-force pair ALSO found by the unfiltered operator run is in
+      // `got`. Unfiltered run = prefilter disabled via threshold so low
+      // the bound always passes, then exact filter applied manually.
+      val unfiltered = Dedup.embeddingLshPairs(vecs, col("vec_id"),
+          col("embedding"), threshold = -1.0, bands = 8, bitsPerBand = 8)
+        .as[(Long, Long, Double)].collect()
+      val want = unfiltered.filter(_._3 >= threshold)
+        .map(t => (t._1, t._2,
+          BigDecimal(cos(byId(t._1), byId(t._2)))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+      assert(got.map(t => (t._1, t._2)) == want.map(t => (t._1, t._2)),
+        s"prefilter changed the pair set at threshold=$threshold")
+    }
+  }
+
   test("auto band width: legacy-identical at small n, linear-safe when wide") {
     val vecs = (0 until 300).map { i =>
       val ang = i * math.Pi / 150
