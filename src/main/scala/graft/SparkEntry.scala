@@ -437,14 +437,20 @@ object SparkEntry {
             .as("dur_us"))
     }),
 
+    // pct_rank/cume are emitted RAW: both engines compute them as a single
+    // IEEE division of the same integers (rank-1)/(N-1) and k/N, so the
+    // unrounded doubles are bit-identical — whereas round(x, 6) breaks parity
+    // whenever k/N terminates in decimal with a 5 in the 7th place (93 rows at
+    // sf10, N≈3e6): Spark rounds the shortest decimal string HALF_UP while
+    // DuckDB rounds the binary value, and the nearest double sits below the tie.
     "window_ntile" -> ((s, d) => {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
       T(s, d, "orders").select(
         col("o_orderkey"), col("o_orderpriority"),
         ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
         first(col("o_orderkey")).over(w).as("cheapest_key"))
     }),
 
@@ -1812,8 +1818,8 @@ object SparkEntry {
     "window_ntile" ->
       """SELECT o_orderkey, o_orderpriority,
         | CAST(ntile(4) OVER w AS INT) AS quartile,
-        | round(percent_rank() OVER w, 6) AS pct_rank,
-        | round(cume_dist() OVER w, 6) AS cume,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cume,
         | first_value(o_orderkey) OVER w AS cheapest_key
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority
