@@ -16,15 +16,22 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read nanos as long (legacy conf) and convert to a
-      // microsecond timestamp with exact integer division (a double division
-      // would lose precision above 2^53 ns).
+      // events.ts arrives in two wire formats: parquet TIMESTAMP(NANOS)
+      // (earlier driver drops and GenScale's int64-nanos scale dirs) and
+      // native TIMESTAMP(MICROS) (current driver drops). With the legacy
+      // conf on, a NANOS column reads as long — convert with exact integer
+      // division (a double division would lose precision above 2^53 ns) —
+      // while a MICROS column reads as a timestamp already and must pass
+      // through untouched.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        case _ => df
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
