@@ -228,7 +228,33 @@ object Bench {
     val missingJson = shuffleNew.map("\"" + _ + "\"").mkString(",")
     def mbObj(m: Seq[(String, Double)]): String =
       obj(m.map { case (k, v) => k -> v.toString })
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":${mbObj(shuffleMb)},"spill_mb":${mbObj(spillMb)},"peak_mem_mb":${mbObj(peakMb)},"shuffle_regressions":[${shuffleRegs.mkString(",")}],"spill_regressions":[${spillRegs.mkString(",")}],"baseline_missing":[$missingJson],"sf":"$sfDir"$extra}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":${mbObj(shuffleMb)},"spill_mb":${mbObj(spillMb)},"peak_mem_mb":${mbObj(peakMb)},"shuffle_regressions":[${shuffleRegs.mkString(",")}],"spill_regressions":[${spillRegs.mkString(",")}],"baseline_missing":[$missingJson],"sf":"$sfDir"$extra}"""
+    println(fullLine)
+    // The harness keeps only the LAST ~2000 chars of stdout; the full line
+    // above (~4 KB at 107 queries) never survives that window, so a
+    // machine-readable summary must ALSO go out as the final line, sized to
+    // fit the window together with sbt's trailing "[success] ..." line.
+    // Full details additionally land on disk for post-hoc reads.
+    val outDir = new java.io.File("bench_out"); outDir.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(outDir, s"bench_full_$sfName.json").toPath,
+      fullLine.getBytes)
+    val header = obj(Seq(
+      "metric" -> "\"total\"", "value" -> f"$total%.1f", "unit" -> "\"sec\"",
+      "sf" -> ("\"" + sfDir + "\""),
+      "n_queries" -> primary.size.toString,
+      "n_failed" -> primary.count(!_.ok).toString,
+      "shuffle_regressions" -> shuffleRegs.size.toString,
+      "spill_regressions" -> spillRegs.size.toString))
+    val budget = 1800 - header.length - 64 // leave room for the tail keys
+    val slowestFirst = primary.sortBy(-_.secs)
+      .map(q => "\"" + q.name + "\":" + f"${q.secs}%.2f")
+    val kept = slowestFirst
+      .scanLeft(0)(_ + _.length + 1).tail.takeWhile(_ <= budget).size
+    val compact = header.dropRight(1) +
+      s""","queries":{${slowestFirst.take(kept).mkString(",")}}""" +
+      s""","queries_omitted":${primary.size - kept}}"""
+    println(compact)
     spark.stop()
   }
 }
