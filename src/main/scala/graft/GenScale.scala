@@ -116,20 +116,35 @@ object GenScale {
       }
 
     val files = Map("lineitem" -> 16, "events" -> 8, "orders" -> 8)
+    // Bound the union plan: a 1000-copy sf100 generation as ONE left-deep
+    // unionByName chain is a Catalyst analysis cliff (tree depth = copies),
+    // so copies are written in fixed-size chunks appended to the same
+    // directory. File counts scale with the copy count so per-file row
+    // counts stay in the sf1-proven range.
+    val chunkSize = args.lift(3).map(_.toInt).getOrElse(25).max(1)
+    val fileScale = math.max(1, copies / 10)
     Tables.all.foreach { name =>
       val base = Tables.load(spark, src, name)
-      val scaled0 =
-        if (name == "region" || name == "nation") base
-        else (0 until copies).map(i => shiftCopy(name, base, i))
-          .reduce(_ unionByName _)
-      // events: write ts back as int64 nanos (the source wire format), so
-      // Tables.load applies the same nanos->micros conversion at sf1
-      val scaled =
-        if (name == "events")
-          scaled0.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
-        else scaled0
-      scaled.repartition(files.getOrElse(name, 4))
-        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      def finalize(df: DataFrame): DataFrame =
+        // events: write ts back as int64 nanos (the source wire format), so
+        // Tables.load applies the same nanos->micros conversion at scale SFs
+        if (name == "events") df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+        else df
+      if (name == "region" || name == "nation") {
+        finalize(base).repartition(1)
+          .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      } else {
+        val totalFiles = files.getOrElse(name, 4) * fileScale
+        val chunks = (0 until copies).grouped(chunkSize).toSeq
+        val perChunkFiles = math.max(1, totalFiles / chunks.size)
+        chunks.zipWithIndex.foreach { case (idxs, ci) =>
+          val part = idxs.map(i => shiftCopy(name, base, i))
+            .reduce(_ unionByName _)
+          finalize(part).repartition(perChunkFiles)
+            .write.mode(if (ci == 0) "overwrite" else "append")
+            .parquet(s"$dst/$name.parquet")
+        }
+      }
       println(s"[genscale] $name -> $dst (${copies}x)")
     }
     spark.stop()
