@@ -717,9 +717,12 @@ object SparkEntry {
     }),
 
     "subpartition_roundrobin" -> ((s, d) => {
+      // scan form: 4 source partitions over the whole events table is the
+      // few-partitions/many-rows regime where the window form funnels each
+      // partition through ONE sort task (measured ×20/decade at sf100)
       val e = T(s, d, "events").withColumn("part", col("user_id") % 4)
-      Subpartitions.roundRobin(e, col("part"), 8,
-          col("ts").asc, col("event_id").asc)
+      Subpartitions.roundRobinScan(e, col("part"), 8,
+          col("ts"), col("event_id"))
         .select("event_id", "part", "subpartition")
     }),
 

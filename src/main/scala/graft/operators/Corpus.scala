@@ -281,18 +281,31 @@ object Corpus {
     * `orderU` must be NON-NULL for every row (and should be ~uniform over
     * [0,1) for balanced buckets). A null draw has no bucket, so the final
     * bucket equi-join would silently drop the row — the operator fails
-    * fast per-row instead of losing data. */
+    * fast per-row instead of losing data.
+    *
+    * `group`: optional GROUPED form — an independent running total per
+    * group along the same order (the per-source-partition counter shape of
+    * the reference's RoundRobinPartitioner). The offsets frame grows to
+    * |groups| × buckets rows and still travels by broadcast, so the group
+    * key must be broadcast-small (source/Kafka partition counts — 10²-10⁴),
+    * NOT a high-cardinality data key; for many tiny groups a plain
+    * partitioned window is already scale-safe and this tree is pointless. */
   def runningTotal(df: DataFrame, id: Column, weight: Column, orderU: Column,
                    buckets: Int = 256,
                    out: String = "running_total",
-                   materialize: Boolean = false): DataFrame = {
+                   materialize: Boolean = false,
+                   group: Seq[Column] = Nil): DataFrame = {
     require(buckets > 0, "need buckets > 0")
     import org.apache.spark.sql.expressions.Window
     val shared =
       if (materialize)
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
-    val base = shared
+    // The grouped form threads the group key through every stage; the
+    // ungrouped plan is kept byte-identical to the proven round-6 shape
+    // (no constant key in the exchanges the shuffle baselines pin).
+    val gKey = if (group.isEmpty) Nil else Seq(col("__rt_g"))
+    val base0 = shared
       .withColumn("__rt_id", id)
       .withColumn("__rt_u", orderU)
       .withColumn("__rt_w", weight.cast("long"))
@@ -302,13 +315,16 @@ object Corpus {
         when(col("__rt_u").isNull, raise_error(lit(
           "runningTotal: orderU is null — supply a non-null uniform draw")))
           .otherwise(floor(col("__rt_u") * buckets)).cast("int"))
-    val wIn = Window.partitionBy(col("__rt_b"))
+    val base =
+      if (group.isEmpty) base0
+      else base0.withColumn("__rt_g", struct(group: _*))
+    val wIn = Window.partitionBy(gKey :+ col("__rt_b"): _*)
       .orderBy(col("__rt_u").asc, col("__rt_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val within = base.withColumn("__rt_cum", sum(col("__rt_w")).over(wIn))
     // Totals aggregate `base` directly: the partial sum runs map-side, so
-    // this branch's exchange carries at most `buckets` rows per map
-    // partition. The price of the DAG-as-tree planning is that `df` is
+    // this branch's exchange carries at most `groups × buckets` rows per
+    // map partition. The price of the DAG-as-tree planning is that `df` is
     // re-evaluated once per branch (window / totals / bucket-ids), each
     // branch column-pruned to what it needs — cheap for a parquet scan
     // input. (Forcing the branches onto one shared exchange doesn't
@@ -316,17 +332,24 @@ object Corpus {
     // projection, so the exchanges are never identical.) Callers whose
     // input is an expensive operator chain should persist or
     // localCheckpoint it first — see the pipeline_full query.
-    val totals = base.groupBy(col("__rt_b"))
+    val totals = base.groupBy(gKey :+ col("__rt_b"): _*)
       .agg(sum(col("__rt_w")).as("__rt_tot"))
-    val lower = totals
-      .select(col("__rt_b").as("__rt_lb"), col("__rt_tot"))
-    val offsets = totals.select(col("__rt_b"))
-      .join(broadcast(lower), col("__rt_lb") < col("__rt_b"), "left")
-      .groupBy(col("__rt_b"))
+    val lowerCols =
+      (if (group.isEmpty) Nil else Seq(col("__rt_g").as("__rt_lg"))) ++
+        Seq(col("__rt_b").as("__rt_lb"), col("__rt_tot"))
+    val lower = totals.select(lowerCols: _*)
+    val lowerCond =
+      if (group.isEmpty) col("__rt_lb") < col("__rt_b")
+      else col("__rt_lg") <=> col("__rt_g") && col("__rt_lb") < col("__rt_b")
+    val offsets = totals.select(gKey :+ col("__rt_b"): _*)
+      .join(broadcast(lower), lowerCond, "left")
+      .groupBy(gKey :+ col("__rt_b"): _*)
       .agg(coalesce(sum(col("__rt_tot")), lit(0L)).as("__rt_off"))
-    within.join(broadcast(offsets), Seq("__rt_b"))
+    val joinKeys = (if (group.isEmpty) Nil else Seq("__rt_g")) :+ "__rt_b"
+    within.join(broadcast(offsets), joinKeys)
       .withColumn(out, col("__rt_off") + col("__rt_cum"))
-      .drop("__rt_id", "__rt_u", "__rt_w", "__rt_b", "__rt_cum", "__rt_off")
+      .drop("__rt_g", "__rt_id", "__rt_u", "__rt_w", "__rt_b",
+        "__rt_cum", "__rt_off")
   }
 
   /** Pack documents into fixed-token-budget training shards: documents are

@@ -274,6 +274,36 @@ class SubpartitionsSpec extends SparkSpecBase {
       .distinct().as[Int].collect().toSeq
     assert(r == Seq(0))
   }
+
+  test("roundRobinScan ≡ roundRobin window form, incl. ties and one-value ts") {
+    // adversarial timeline: duplicate ts within a part (tiebreak decides),
+    // clustered values (many rows in one bucket), parts of unequal size
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 500).map { i =>
+      val part = i % 3
+      val ts = if (i % 7 == 0) 1000L else 1000L + rng.nextInt(50).toLong
+      (part, ts, i.toLong)
+    }
+    val in = rows.toDF("part", "ts", "event_id")
+    def key(frame: org.apache.spark.sql.DataFrame) = frame
+      .select("event_id", "part", "subpartition")
+      .as[(Long, Int, Int)].collect().toSeq.sorted
+    val windowForm = Subpartitions.roundRobin(in, col("part"), 5,
+      col("ts").asc, col("event_id").asc)
+    val scanForm = Subpartitions.roundRobinScan(in, col("part"), 5,
+      col("ts"), col("event_id"), buckets = 8)
+    assert(key(scanForm) == key(windowForm))
+    // degenerate timeline: every ts identical → single bucket, still exact
+    val flat = rows.map { case (p, _, id) => (p, 42L, id) }
+      .toDF("part", "ts", "event_id")
+    assert(key(Subpartitions.roundRobinScan(flat, col("part"), 5,
+        col("ts"), col("event_id"), buckets = 8)) ==
+      key(Subpartitions.roundRobin(flat, col("part"), 5,
+        col("ts").asc, col("event_id").asc)))
+    // empty input: empty output, schema intact
+    assert(Subpartitions.roundRobinScan(in.filter(lit(false)), col("part"),
+      5, col("ts"), col("event_id")).count() == 0)
+  }
 }
 
 class MergeStreamsSpec extends SparkSpecBase {
