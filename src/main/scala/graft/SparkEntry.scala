@@ -824,6 +824,14 @@ object SparkEntry {
       structural.crossJoin(broadcast(noMissed)).crossJoin(broadcast(noSpurious))
     }),
 
+    // Wide-signature variant: 2×60-bit md5 simhashes over md5-parity token
+    // halves, 4×30-bit bands — the occupancy-safe form for 10^8+-doc
+    // corpora (the sf100 sweep measured the narrow form's ~N²/2^15
+    // map-side cost; see Dedup.simhashPairsWide scaladoc).
+    "dedup_simhash_wide" -> ((s, d) =>
+      Dedup.simhashPairsWide(T(s, d, "documents"), col("doc_id"),
+        col("text"), maxHamming = 3)),
+
     "dedup_ngram" -> ((s, d) =>
       Dedup.tokenJaccardPairs(T(s, d, "documents"), col("doc_id"), col("text"),
         block = Seq(col("lang")), threshold = 0.97)),
@@ -2107,6 +2115,46 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin,
+
+    // same md5-vote reimplementation, split into two half-signatures by
+    // the token's md5 16th-hex-digit parity (the engine uses the identical
+    // split, so the 120-bit signature reproduces bit-for-bit); docs with
+    // an empty half coalesce to signature 0 exactly like the kernel
+    "dedup_simhash_wide" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        |  FROM documents),
+        | th AS (
+        |  SELECT doc_id,
+        |    (strpos('0123456789abcdef', substr(md5(tok), 16, 1)) - 1) % 2
+        |      AS half,
+        |    list_reduce(list_transform(
+        |      string_to_array(substr(md5(tok), 1, 15), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS h
+        |  FROM toks),
+        | bits AS (
+        |  SELECT doc_id, half, CAST(bit AS INT) AS bit,
+        |    SUM(CASE WHEN (h >> CAST(bit AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM th CROSS JOIN (SELECT unnest(range(60)) AS bit)
+        |  GROUP BY doc_id, half, bit),
+        | halfsig AS (
+        |  SELECT doc_id, half,
+        |    CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+        |      AS BIGINT) AS sim
+        |  FROM bits GROUP BY doc_id, half),
+        | sig AS (
+        |  SELECT d.doc_id,
+        |    COALESCE(MAX(CASE WHEN half = 0 THEN sim END), 0) AS sim_a,
+        |    COALESCE(MAX(CASE WHEN half = 1 THEN sim END), 0) AS sim_b
+        |  FROM documents d LEFT JOIN halfsig h USING (doc_id)
+        |  GROUP BY d.doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sim_a, b.sim_a))
+        |     + bit_count(xor(a.sim_b, b.sim_b)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sim_a, b.sim_a))
+        |    + bit_count(xor(a.sim_b, b.sim_b)) <= 3""".stripMargin,
 
     // Kafka murmur2, reimplemented independently in DuckDB SQL (32-bit
     // wrap-around arithmetic over BIGINT, >>> as integer division): an

@@ -244,6 +244,72 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Wide-signature SimHash near-dup — the documented path past the narrow
+    * form's bucket-space ceiling, made real after the sf100 sweep measured
+    * that ceiling (~N²/2^15 map-side hamming work ⇒ ×16.8/decade at 5M
+    * docs). TWO independent 60-bit md5 simhashes over disjoint token
+    * halves (deterministic split by the token's md5 16th hex digit parity
+    * — engine-portable, so the full-row DuckDB oracle reproduces it) form
+    * a 120-bit signature banded as 4×30-bit slices: pigeonhole recall is
+    * exact for combined hamming ≤ 3, and the band bucket space grows from
+    * 2^15 to 2^30 — expected band-bucket occupancy stays ≪ 1 into the
+    * 10^8-10^9-doc regime (the 100 TB corpus scale), so candidate pairs
+    * come from signature agreement, not birthday collisions, and
+    * `bucketCap` never bites on honest corpora.
+    *
+    * The 120-bit hamming is a FINER similarity than the 60-bit one (a
+    * token's vote lands in one half, not both): this is a variant
+    * measure, not a drop-in replacement — WideSimhashSpec pins exact
+    * recall/precision against an all-pairs reference on an adversarial
+    * corpus, and the `dedup_simhash_wide` query carries a full-row
+    * DuckDB oracle. Same shuffle economics as [[simhashPairsFromSig]]:
+    * 24 B/row through the bucket exchange, hamming map-side before the
+    * pair dedup. */
+  def simhashPairsWide(docs: DataFrame, id: Column, text: Column,
+                       maxHamming: Int = 3,
+                       bucketCap: Int = 10000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x30-bit banding guarantees recall only for maxHamming <= 3 " +
+        s"(got $maxHamming)")
+    val toks = TextFunctions.tokens(text)
+    def half(par: Int) = filter(toks, t =>
+      conv(substring(md5(t.cast("binary")), 16, 1), 16, 10).cast("int")
+        % 2 === lit(par))
+    val sig = docs.select(id.as("doc_id"),
+      GraftFunctions.simhashMd5(half(0)).as("sim_a"),
+      GraftFunctions.simhashMd5(half(1)).as("sim_b"))
+    val mask = (1L << 30) - 1L
+    val bandCols = array(
+      col("sim_a").bitwiseAND(lit(mask)),
+      shiftright(col("sim_a"), 30).bitwiseAND(lit(mask)),
+      col("sim_b").bitwiseAND(lit(mask)),
+      shiftright(col("sim_b"), 30).bitwiseAND(lit(mask)))
+    val banded = sig.select(col("doc_id"), col("sim_a"), col("sim_b"),
+      posexplode(bandCols).as(Seq("band", "bucket")))
+    val wB = Window.partitionBy(col("band"), col("bucket"))
+      .orderBy(col("doc_id").asc)
+    banded
+      .withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= bucketCap)
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sim_a"),
+        col("sim_b")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ms, (x, i) ->
+          |  transform(slice(ms, i + 2, size(ms) - i - 1),
+          |    y -> struct(x.doc_id AS id_a, x.sim_a AS saa, x.sim_b AS sab,
+          |                y.doc_id AS id_b, y.sim_a AS sba, y.sim_b AS sbb))))"""
+          .stripMargin)).as("p"))
+      // combined hamming map-side before the pair dedup — the sf10
+      // finding-5 shape: only true near-dup pairs reach the exchange
+      .select(col("p.id_a"), col("p.id_b"),
+        (GraftFunctions.hamming(col("p.saa"), col("p.sba")) +
+          GraftFunctions.hamming(col("p.sab"), col("p.sbb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Fail-fast misuse guard for the quadratic-per-block pair operators:
     * ONE bounded scalar aggregation (the same driver-action class as
     * mergedN's min/max) over the light key frame finds the hottest block;

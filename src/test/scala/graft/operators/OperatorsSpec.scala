@@ -242,6 +242,67 @@ class SimhashMd5KernelSpec extends SparkSpecBase {
   }
 }
 
+class WideSimhashSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.functions.{GraftFunctions, TextFunctions}
+
+  // near-dup corpus with a PRE-SEARCHED boundary pair: tokens s1t0..s1t29
+  // each repeated 3× give stable vote margins, and replacing exactly one
+  // copy of s1t6 with m6y flips exactly ONE signature bit (combined
+  // hamming 1 — found by offline md5 search, deterministic forever), so
+  // the 0 < hamming ≤ 3 recall path is genuinely exercised. Plus
+  // identical docs (hamming 0), unrelated docs, and empty-half edge cases
+  // (docs whose tokens all land in one md5-parity half — the other half's
+  // signature must coalesce to 0).
+  private val baseToks = Seq.fill(3)((0 until 30).map(i => s"s1t$i")).flatten
+  private val base = baseToks.mkString(" ")
+  private val nearDup = baseToks.updated(
+    baseToks.indexOf("s1t6"), "m6y").mkString(" ")
+  private val docs = (Seq(
+    (1L, base),
+    (2L, nearDup),
+    (3L, base),
+    (4L, "completely unrelated text about catalyst and tungsten engines"),
+    (5L, "single"),
+    (6L, "single"),
+    (7L, "")) ++ (10 to 40).map(i =>
+      (100L + i, s"noise${i}a noise${i}b noise${i}c noise${i}d"))
+  ).toDF("doc_id", "text")
+
+  private def halfSig(par: Int) = GraftFunctions.simhashMd5(
+    filter(TextFunctions.tokens(col("text")), t =>
+      conv(substring(md5(t.cast("binary")), 16, 1), 16, 10).cast("int")
+        % 2 === lit(par)))
+
+  test("wide pairs == exact all-pairs 120-bit hamming (recall AND precision)") {
+    val got = Dedup.simhashPairsWide(docs, col("doc_id"), col("text"),
+        maxHamming = 3)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val sig = docs.select(col("doc_id"), halfSig(0).as("sa"),
+      halfSig(1).as("sb"))
+    val exact = sig.select(col("doc_id").as("id_a"), col("sa").as("saa"),
+        col("sb").as("sab"))
+      .join(broadcast(sig.select(col("doc_id").as("id_b"),
+        col("sa").as("sba"), col("sb").as("sbb"))), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (GraftFunctions.hamming(col("saa"), col("sba")) +
+          GraftFunctions.hamming(col("sab"), col("sbb"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == exact, "banded wide pairs must equal the exact set")
+    // the corpus must actually exercise the operator: identical docs at
+    // hamming 0 and at least one nonzero-hamming near-dup
+    assert(exact.exists(_._3 == 0) && exact.exists(_._3 > 0))
+  }
+
+  test("wide form rejects maxHamming beyond the 4-band pigeonhole") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairsWide(docs, col("doc_id"), col("text"), maxHamming = 4)
+    }
+  }
+}
+
 class SubpartitionsSpec extends SparkSpecBase {
   import spark.implicits._
 
