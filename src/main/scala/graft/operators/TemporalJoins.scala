@@ -70,6 +70,15 @@ object TemporalJoins {
       .filter(col("id") =!= col("id2") &&
         abs(col("us") - col("us2")) <= rangeUs)
       .groupBy(col("id").as("event_id"))
-      .agg(countDistinct(col("id2")).as("n_nearby"))
+      // A plain count IS the distinct count here, by construction: the
+      // probe's three bucket offsets are distinct and the build row sits
+      // in exactly one bucket, so each (id, id2) pair joins exactly once;
+      // and id2 is a unique event id, so no group sees a repeat. The
+      // equivalent countDistinct forces Spark's two-phase exact-distinct
+      // aggregation — dropping it measured 94 → 37 s at sf100 (decade
+      // ratio 12.0 → 5.9); the remaining spill is the band join's own
+      // sort, linear in input. (The DuckDB oracle keeps
+      // COUNT(DISTINCT ...) — identical value, independently derived.)
+      .agg(count(col("id2")).as("n_nearby"))
   }
 }
