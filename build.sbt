@@ -28,3 +28,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// FaultToleranceSpec needs a `local[N, maxFailures]` master (task retries),
+// which is a SparkContext-level choice — one context per JVM, so it runs in
+// its own forked group while every other suite shares the main test JVM.
+Test / testGrouping := {
+  val forkOpts = ForkOptions().withRunJVMOptions(
+    (Test / javaOptions).value.toVector)
+  val (solo, rest) = (Test / definedTests).value
+    .partition(_.name.endsWith("FaultToleranceSpec"))
+  Seq(
+    Tests.Group("fault-tolerance", solo, Tests.SubProcess(forkOpts)),
+    Tests.Group("main", rest, Tests.SubProcess(forkOpts)),
+  ).filter(_.tests.nonEmpty)
+}

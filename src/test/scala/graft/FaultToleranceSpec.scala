@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Corpus, Dedup, Subpartitions}
+
+/** Kill the first attempt of a task, then require the retried run to
+  * produce the exact result of a clean run — counted so a test can prove
+  * the fault actually fired (a gate that never throws would pass
+  * vacuously). */
+object FaultInjection {
+  val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+/** Task-retry determinism — executed, not claimed.
+  *
+  * Several operators' scaladocs assert determinism "across retries": the
+  * sampling family draws from id digests instead of RNG state, dedup
+  * canonicalization is min-wins, bucket capping keeps the SMALLEST ids,
+  * and roundRobinScan buckets every row by a data-derived draw precisely
+  * so a re-executed task reproduces its output. On a 1000-executor
+  * cluster task retries are routine (preemption, spot loss, speculative
+  * execution), and an operator whose recomputed partition differs from
+  * the lost one silently corrupts results — Spark does NOT re-run
+  * downstream stages that already consumed the old output.
+  *
+  * This suite actually kills tasks (first attempt of partition 0 of the
+  * stage evaluating the gate, via a nondeterministic UDF that throws) and
+  * asserts the retried execution equals a clean run bit-for-bit
+  * ([[RowCanon]]). It runs in its own JVM (build.sbt testGrouping): the
+  * shared suites use `local[4]`, whose maxTaskFailures=1 turns any task
+  * failure into a job failure — retries need a `local[N, maxFailures]`
+  * master, which is a SparkContext-level choice.
+  */
+class FaultToleranceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4, 3]")
+    .appName("FaultToleranceSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Filter-true gate that throws on the first attempt of partition 0 of
+    * whatever stage evaluates it. Nondeterministic so Catalyst neither
+    * constant-folds it nor reorders it into a pushed-down scan filter. */
+  private def flaky(df: DataFrame): DataFrame = {
+    val gate = udf { (_: Int) =>
+      val tc = TaskContext.get()
+      if (tc != null && tc.partitionId() == 0 && tc.attemptNumber() == 0) {
+        FaultInjection.fired.incrementAndGet()
+        throw new RuntimeException(
+          "injected fault: first attempt of partition 0")
+      }
+      true
+    }.asNondeterministic()
+    df.filter(gate(lit(1)))
+  }
+
+  /** Run `op` over a clean and a fault-injected copy of the same input;
+    * require the fault to have fired and the results to match. */
+  private def assertRetrySafe(name: String, input: DataFrame,
+                              op: DataFrame => DataFrame): Unit = {
+    val clean = RowCanon.collect(op(input))
+    val before = FaultInjection.fired.get()
+    val faulted = RowCanon.collect(op(flaky(input)))
+    assert(FaultInjection.fired.get() > before,
+      s"$name: the injected fault never fired — the test proved nothing")
+    assert(clean == faulted,
+      s"$name changed its result across a task retry: " +
+        RowCanon.diff(clean, faulted))
+  }
+
+  private def docs = Tables.load(spark, dir, "documents")
+  private def events = Tables.load(spark, dir, "events")
+
+  test("digest sampling is stable across a map-stage retry") {
+    assertRetrySafe("hashSample", docs,
+      d => Corpus.hashSample(d, col("doc_id"), 0.3, salt = "r8"))
+  }
+
+  test("fixed-size group sample is stable across a map-stage retry") {
+    assertRetrySafe("groupSample", docs, d =>
+      Corpus.groupSample(d, col("doc_id"), col("lang"), k = 5, salt = "ft"))
+  }
+
+  test("exact dedup (min-wins canonical + salted join-back) is stable") {
+    assertRetrySafe("exactDuplicates", docs,
+      d => Dedup.exactDuplicates(d, col("doc_id"), col("text")))
+  }
+
+  test("MinHash-LSH candidate generation + verification is stable") {
+    assertRetrySafe("minhashLsh", docs, d =>
+      Dedup.minhashLsh(d, col("doc_id"), col("text"), threshold = 0.5))
+  }
+
+  test("roundRobinScan's data-derived counter is stable") {
+    assertRetrySafe("roundRobinScan",
+      events.withColumn("part", col("user_id") % 4), e =>
+        Subpartitions.roundRobinScan(
+          e, col("part"), 4, col("ts"), col("event_id"), buckets = 8))
+  }
+
+  test("a reduce-stage retry refetches shuffle output unchanged") {
+    // gate AFTER the aggregation: the throwing task is a reducer holding
+    // fetched map output; its retry must re-aggregate to the same rows
+    val agg = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("chars"))
+    val clean = RowCanon.collect(agg)
+    val before = FaultInjection.fired.get()
+    val faulted = RowCanon.collect(flaky(agg))
+    assert(FaultInjection.fired.get() > before, "fault never fired")
+    assert(clean == faulted, RowCanon.diff(clean, faulted))
+  }
+
+  override def afterAll(): Unit = {
+    spark.stop() // own JVM, own context — safe to stop, unlike SparkSpecBase
+    super.afterAll()
+  }
+}
