@@ -120,6 +120,35 @@ class FaultToleranceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clean == faulted, RowCanon.diff(clean, faulted))
   }
 
+  test("a task killed mid-write inside a streaming batch neither loses nor duplicates rows") {
+    // the reference's duplication window is a crash between sink write and
+    // offset commit (ConsumerThread.java:184-186); the Spark-side analogue
+    // one level down is a TASK dying mid-batch-write. The parquet commit
+    // protocol must discard the failed attempt's files so the retried task
+    // commits exactly one copy.
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Int](spark)
+    mem.addData(1 to 1000: _*)
+    val sink = java.nio.file.Files.createTempDirectory("ft-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ft-ckpt").toString
+    val before = FaultInjection.fired.get()
+    val q = mem.toDF().withColumnRenamed("value", "v")
+      .repartition(4) // multiple write tasks, so killing one leaves others
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        streaming.Guarantees.exactlyOnceParquet(sink)(flaky(b), id)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(FaultInjection.fired.get() > before, "fault never fired")
+    val out = spark.read.parquet(sink)
+    assert(out.count() == 1000, "rows lost or duplicated by the retried write task")
+    assert(out.select("v").distinct().count() == 1000)
+  }
+
   override def afterAll(): Unit = {
     spark.stop() // own JVM, own context — safe to stop, unlike SparkSpecBase
     super.afterAll()

@@ -2,22 +2,29 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Whole-surface row-order / file-layout independence.
+/** Whole-surface execution-environment independence.
   *
   * Every query in the inventory is DuckDB-oracled, i.e. it claims to be a
-  * pure function of table CONTENT. On a real cluster the physical layout
-  * is never stable — splits differ by block size, speculative tasks race,
-  * compaction rewrites files — so any hidden dependence on row order,
-  * partition count, or file boundaries (a first() without a sort, a
-  * collect_list order leaking into output, a window missing its full
-  * tiebreak) is a live 100 TB correctness bug that the single-layout
-  * oracle runs can never see.
+  * pure function of table CONTENT. On a real cluster nothing else is
+  * stable: physical layout shifts (splits differ by block size,
+  * speculative tasks race, compaction rewrites files), AQE re-plans
+  * mid-query (coalesced reducers, skew-split joins), and the reducer
+  * count is a per-deployment tuning knob (32 here, thousands there). Any
+  * hidden dependence on those — a first() without a sort, a collect_list
+  * order leaking into output, a window missing its full tiebreak, bucket
+  * logic tied to the physical partition count — is a live 100 TB
+  * correctness bug that the single-layout, single-config oracle runs can
+  * never see.
   *
-  * This suite rewrites every sf0.001 table with a different partition
-  * count AND a different row order (shuffled by a whole-row hash), runs
-  * each of the declared queries against both layouts, and asserts the
-  * canonical results are identical ([[RowCanon]]: exact except doubles at
-  * 9 significant digits, absorbing legal partial-sum IEEE drift).
+  * For each of the declared queries this suite pins THREE perturbed
+  * executions to the canonical result ([[RowCanon]]: exact except doubles
+  * at 9 significant digits, absorbing legal partial-sum IEEE drift):
+  *  1. every sf0.001 table rewritten with a different partition count and
+  *     whole-row-hash row order;
+  *  2. AQE disabled (the plans normally run under AQE — identical results
+  *     prove no semantics leaked into its runtime re-planning);
+  *  3. spark.sql.shuffle.partitions 4 → 13 (a different reducer count
+  *     re-buckets every exchange and reorders every partial-agg merge).
   */
 class OrderFuzzSpec extends SparkSpecBase {
 
@@ -54,11 +61,32 @@ class OrderFuzzSpec extends SparkSpecBase {
       "fuzzed row order matches the canonical order")
   }
 
+  private def withConf[A](kv: (String, String))(body: => A): A = {
+    val old = spark.conf.getOption(kv._1)
+    spark.conf.set(kv._1, kv._2)
+    try body
+    finally old match {
+      case Some(v) => spark.conf.set(kv._1, v)
+      case None => spark.conf.unset(kv._1)
+    }
+  }
+
   SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
-    test(s"layout-invariant: $q") {
-      val a = RowCanon.collect(SparkEntry.queries(q)(spark, canonicalDir))
-      val b = RowCanon.collect(SparkEntry.queries(q)(spark, fuzzDir))
-      assert(a == b, s"$q result depends on input layout: ${RowCanon.diff(a, b)}")
+    test(s"layout/AQE/reducer-count invariant: $q") {
+      val base = RowCanon.collect(SparkEntry.queries(q)(spark, canonicalDir))
+      val fuzz = RowCanon.collect(SparkEntry.queries(q)(spark, fuzzDir))
+      assert(base == fuzz,
+        s"$q result depends on input layout: ${RowCanon.diff(base, fuzz)}")
+      val noAqe = withConf("spark.sql.adaptive.enabled" -> "false") {
+        RowCanon.collect(SparkEntry.queries(q)(spark, canonicalDir))
+      }
+      assert(base == noAqe,
+        s"$q result depends on AQE re-planning: ${RowCanon.diff(base, noAqe)}")
+      val reducers13 = withConf("spark.sql.shuffle.partitions" -> "13") {
+        RowCanon.collect(SparkEntry.queries(q)(spark, canonicalDir))
+      }
+      assert(base == reducers13,
+        s"$q result depends on the reducer count: ${RowCanon.diff(base, reducers13)}")
     }
   }
 }
