@@ -28,16 +28,25 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
-// FaultToleranceSpec needs a `local[N, maxFailures]` master (task retries),
-// which is a SparkContext-level choice — one context per JVM, so it runs in
-// its own forked group while every other suite shares the main test JVM.
+// The master URL is a SparkContext-level choice (one context per JVM), so
+// suites that can't run on the shared local[4] context get their own
+// forked group: FaultToleranceSpec needs `local[N, maxFailures]` (task
+// retries), LocalClusterSpec needs `local-cluster[...]` (real executor
+// JVMs) plus SPARK_HOME/SPARK_SCALA_VERSION in the env for executor launch.
 Test / testGrouping := {
   val forkOpts = ForkOptions().withRunJVMOptions(
     (Test / javaOptions).value.toVector)
-  val (solo, rest) = (Test / definedTests).value
-    .partition(_.name.endsWith("FaultToleranceSpec"))
+  val clusterEnv = Map(
+    "SPARK_HOME" -> (baseDirectory.value / "target" / "spark-home").getAbsolutePath,
+    "SPARK_SCALA_VERSION" -> "2.13")
+  val tests = (Test / definedTests).value
+  def grp(name: String, pick: String => Boolean, env: Map[String, String]) =
+    Tests.Group(name, tests.filter(t => pick(t.name)),
+      Tests.SubProcess(forkOpts.withEnvVars(env)))
   Seq(
-    Tests.Group("fault-tolerance", solo, Tests.SubProcess(forkOpts)),
-    Tests.Group("main", rest, Tests.SubProcess(forkOpts)),
+    grp("fault-tolerance", _.endsWith("FaultToleranceSpec"), Map.empty),
+    grp("local-cluster", _.endsWith("LocalClusterSpec"), clusterEnv),
+    grp("main", n => !n.endsWith("FaultToleranceSpec") &&
+      !n.endsWith("LocalClusterSpec"), Map.empty),
   ).filter(_.tests.nonEmpty)
 }

@@ -14,6 +14,11 @@ import graft.operators.{Corpus, Dedup, Subpartitions}
   * vacuously). */
 object FaultInjection {
   val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+  // one sleep per task ATTEMPT (straggler udfs run per row). Per-JVM by
+  // design: on a real cluster each executor dedups its own attempts, and
+  // task attempt ids are globally unique so the guard still holds.
+  val slept: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }
 
 /** Task-retry determinism — executed, not claimed.
@@ -119,6 +124,13 @@ class FaultToleranceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(FaultInjection.fired.get() > before, "fault never fired")
     assert(clean == faulted, RowCanon.diff(clean, faulted))
   }
+
+  // NOTE: there is deliberately no speculative-execution test here —
+  // TaskSchedulerImpl only starts its speculation scheduler when !isLocal,
+  // so a local[N] master can never race duplicate attempts (verified
+  // empirically: aggressive speculation confs + a 2 s straggler never
+  // launched an attempt > 0). LocalClusterSpec covers speculation on real
+  // forked executors.
 
   test("a task killed mid-write inside a streaming batch neither loses nor duplicates rows") {
     // the reference's duplication window is a crash between sink write and

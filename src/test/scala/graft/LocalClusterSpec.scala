@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.TaskContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd, SparkListenerTaskStart}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The engine on REAL executors: `local-cluster[2,2,1024]` forks two
+  * executor JVMs, so everything local[N] can't exercise runs for real —
+  * closure/expression serialization across process boundaries, remote
+  * shuffle fetch, the speculation scheduler (structurally off in local
+  * mode: TaskSchedulerImpl only starts it when !isLocal), and true
+  * executor loss with shuffle-file loss and stage resubmission.
+  *
+  * Runs in its own JVM group (build.sbt): the master is a SparkContext-
+  * level choice, and executor launch needs SPARK_HOME + SPARK_SCALA_VERSION
+  * in the environment (set by the fork options; SPARK_HOME points at
+  * target/spark-home, a symlink shim onto /opt/spark/jars so executor work
+  * dirs land inside the repo). Executors inherit this JVM's full classpath
+  * via spark.executor.extraClassPath — lambdas defined in this suite
+  * deserialize on the executor only if scalatest is there too.
+  *
+  * Driver-side proof that faults really happened comes from a
+  * SparkListener (speculative task starts, injected-failure task ends):
+  * executor-JVM statics are invisible here, and user accumulators drop
+  * failed-task updates — the listener is the only honest channel.
+  */
+class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private object listener extends SparkListener {
+    val speculativeStarts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val injectedFailures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val lostExecutorTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    override def onTaskStart(ts: SparkListenerTaskStart): Unit =
+      if (ts.taskInfo.speculative) speculativeStarts.incrementAndGet()
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val r = Option(te.reason).map(_.toString).getOrElse("")
+      if (r.contains("injected fault")) injectedFailures.incrementAndGet()
+      if (r.contains("ExecutorLostFailure") || r.contains("FetchFailed"))
+        lostExecutorTasks.incrementAndGet()
+    }
+  }
+
+  private lazy val spark: SparkSession = {
+    // self-contained shim: executor-launch classpath resolution needs a
+    // SPARK_HOME with a jars/ dir; symlink onto the image's Spark
+    val home = java.nio.file.Paths.get("target/spark-home").toAbsolutePath
+    java.nio.file.Files.createDirectories(home)
+    for (d <- Seq("jars", "conf")) {
+      val link = home.resolve(d)
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(s"/opt/spark/$d"))
+    }
+    val s = SparkSession.builder()
+      .master("local-cluster[2,2,1024]")
+      .appName("LocalClusterSpec")
+      .config("spark.executor.extraClassPath",
+        System.getProperty("java.class.path"))
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // aggressive speculation: with one 2 s straggler among 4 uniform
+      // tasks, a duplicate attempt launches within ~100 ms
+      .config("spark.speculation", "true")
+      .config("spark.speculation.interval", "50ms")
+      .config("spark.speculation.multiplier", "1.2")
+      .config("spark.speculation.quantile", "0.25")
+      .getOrCreate()
+    s.sparkContext.addSparkListener(listener)
+    s
+  }
+
+  private def docs = Tables.load(spark, dir, "documents")
+
+  private def withConf[A](kv: (String, String))(body: => A): A = {
+    val old = spark.conf.getOption(kv._1)
+    spark.conf.set(kv._1, kv._2)
+    try body
+    finally old match {
+      case Some(v) => spark.conf.set(kv._1, v)
+      case None => spark.conf.unset(kv._1)
+    }
+  }
+
+  test("representative queries run on real executors, AQE on == off") {
+    // serialization + remote-shuffle smoke across the operator families:
+    // custom codegen expressions, window/sort machinery, salted joins,
+    // LSH banding, the grouped prefix scan, streaming's batch twin
+    val subset = Seq("q3_topk", "dedup_minhash", "merge_streams",
+      "subpartition_roundrobin", "similarity_topk", "resample_locf",
+      "corpus_pack", "hybrid_search_bm25", "sessionize_batch", "text_stats")
+    var totalRows = 0L
+    for (q <- subset) {
+      val on = RowCanon.collect(SparkEntry.queries(q)(spark, dir))
+      val off = withConf("spark.sql.adaptive.enabled" -> "false") {
+        RowCanon.collect(SparkEntry.queries(q)(spark, dir))
+      }
+      assert(on == off, s"$q diverges on real executors: ${RowCanon.diff(on, off)}")
+      totalRows += on.size - 1
+    }
+    assert(totalRows > 0, "the whole subset returned no rows on the cluster")
+  }
+
+  test("task retry on a real cluster reproduces the clean result") {
+    val gate = udf { (_: Int) =>
+      val tc = TaskContext.get()
+      if (tc != null && tc.partitionId() == 0 && tc.attemptNumber() == 0)
+        throw new RuntimeException("injected fault: first attempt, partition 0")
+      true
+    }.asNondeterministic()
+    val clean = RowCanon.collect(
+      operators.Dedup.minhashLsh(docs, col("doc_id"), col("text"),
+        threshold = 0.5))
+    val before = listener.injectedFailures.get()
+    val faulted = RowCanon.collect(
+      operators.Dedup.minhashLsh(docs.filter(gate(lit(1))),
+        col("doc_id"), col("text"), threshold = 0.5))
+    assert(listener.injectedFailures.get() > before,
+      "the injected fault never fired on the cluster")
+    assert(clean == faulted, RowCanon.diff(clean, faulted))
+  }
+
+  // NOTE: speculation is configured aggressively above and the scheduler's
+  // speculative-execution thread demonstrably starts on this master, but a
+  // speculative COPY can never launch here: TaskSetManager refuses to place
+  // a second live attempt on a host that already has one
+  // (dequeueSpeculativeTask's hasAttemptOnHost guard), and every
+  // local-cluster worker registers as localhost. Verified empirically — a
+  // 2 s straggler among uniform tasks never produced a speculative task
+  // start. What speculation would exercise is covered piecewise: duplicate-
+  // attempt output hygiene by the commit-protocol test in
+  // FaultToleranceSpec (a replaced attempt's files are discarded), and
+  // recomputation determinism by the retry tests here and there.
+
+  test("losing an executor mid-job (shuffle files and all) is recovered") {
+    // a straggler holds the reduce stage open while we SIGKILL executor 0:
+    // its shuffle map output dies with it, so finishing the job needs
+    // FetchFailed handling, map-stage resubmission on the survivor + the
+    // replacement the standalone master re-launches, and deterministic
+    // recomputation — the spot-loss story, end to end
+    val slowReduce = udf { (id: Long) =>
+      val tc = TaskContext.get()
+      if (tc != null && tc.partitionId() == 0 &&
+          FaultInjection.slept.add(
+            s"x-${tc.stageId()}-${tc.stageAttemptNumber()}-${tc.taskAttemptId()}"))
+        Thread.sleep(4000)
+      id
+    }.asNondeterministic()
+    def plan(d: DataFrame) = d
+      .groupBy("lang")
+      .agg(expr("bit_xor(xxhash64(doc_id))").as("hs"), count(lit(1)).as("n"))
+      .select(slowReduce(col("hs")).as("hs"), col("lang"), col("n"))
+    val clean = RowCanon.collect(plan(docs))
+    val before = listener.lostExecutorTasks.get()
+    val killer = new Thread(() => {
+      Thread.sleep(1500) // let the map stage finish and the reduce start
+      Runtime.getRuntime.exec(
+        Array("pkill", "-9", "-f", "CoarseGrainedExecutorBackend")).waitFor()
+    })
+    killer.start()
+    val survived = RowCanon.collect(plan(docs))
+    killer.join()
+    assert(listener.lostExecutorTasks.get() > before,
+      "the kill landed after the job finished — the test proved nothing")
+    assert(clean == survived, RowCanon.diff(clean, survived))
+  }
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    super.afterAll()
+  }
+}
