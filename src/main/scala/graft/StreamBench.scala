@@ -111,7 +111,7 @@ object StreamBench {
     // cannot hollow out the measured work
     val results = Seq(
       measure("worker", workerTopology(_, nSub = 64), b =>
-        b.agg(sum("weight"), sum("key_hash"), sum("is_sale"),
+        b.agg(sum("weight"), expr("bit_xor(key_hash)"), sum("is_sale"),
           sum("pay_len"), sum("subpartition")).collect()),
       measure("punctuate", ev => ev
         .withWatermark("ts", "2 seconds")
