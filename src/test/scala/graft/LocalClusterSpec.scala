@@ -4,6 +4,7 @@ import org.apache.spark.TaskContext
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd, SparkListenerTaskStart}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -168,6 +169,98 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(listener.lostExecutorTasks.get() > before,
       "the kill landed after the job finished — the test proved nothing")
     assert(clean == survived, RowCanon.diff(clean, survived))
+  }
+
+  test("connectedComponents(checkpointDir) survives losing every executor mid-closure") {
+    // the round-6 claim, executed: reliable checkpoints (vs localCheckpoint,
+    // whose blocks die with the executor) let the iterative closure resume
+    // from files after an executor loss. 50 chain components of size 100 →
+    // ~7 pointer-jumping rounds; a once-per-attempt straggler holds the
+    // computation open long enough for the kill to land mid-closure.
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("cc-checkpoint").toString
+    val straggle = udf { (id: Long) =>
+      val tc = TaskContext.get()
+      if (tc != null && tc.partitionId() == 0 &&
+          FaultInjection.slept.add(
+            s"cc-${tc.stageId()}-${tc.stageAttemptNumber()}-${tc.taskAttemptId()}"))
+        Thread.sleep(1000)
+      id
+    }.asNondeterministic()
+    def edges = spark.range(0, 5000, 1, 4)
+      .select(straggle(col("id")).as("s"),
+        when(col("id") % 100 === 99, col("id"))
+          .otherwise(col("id") + 1).as("d"))
+    def run() = RowCanon.collect(operators.Dedup.connectedComponents(
+      edges, "s", "d", checkpointDir = Some(ckpt)))
+    val clean = run()
+    assert(clean.size == 5001, s"expected 5000 labeled nodes, got ${clean.size - 1}")
+    val before = listener.lostExecutorTasks.get()
+    val killer = new Thread(() => {
+      Thread.sleep(2000)
+      Runtime.getRuntime.exec(
+        Array("pkill", "-9", "-f", "CoarseGrainedExecutorBackend")).waitFor()
+    })
+    killer.start()
+    val survived = run()
+    killer.join()
+    assert(listener.lostExecutorTasks.get() > before,
+      "the kill landed outside the closure — the test proved nothing")
+    assert(clean == survived, RowCanon.diff(clean, survived))
+  }
+
+  test("streaming window state survives executor loss mid-query") {
+    // stateful streaming on real executors: HDFSBackedStateStore must
+    // reload from the checkpoint on the relaunched executors, and append
+    // mode must still emit every finalized window exactly once with an
+    // exact count — across a kill that takes the state store's hosts down
+    val rowsPerBatch = 100000L
+    val batches = 20
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("stream-loss-ckpt").toString
+    val windows = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val src = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch)
+      .option("numPartitions", 4)
+      .option("startTimestamp", 0L)
+      .option("advanceMillisPerBatch", 1000)
+      .load()
+    val agg = src.withWatermark("timestamp", "2 seconds")
+      .groupBy(window(col("timestamp"), "1 second").as("w"))
+      .agg(count(lit(1)).as("n"))
+    val before = listener.lostExecutorTasks.get()
+    val q = agg.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append") // only finalized windows, exactly once each
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          val w = r.getStruct(0).getTimestamp(0).toInstant.toString
+          windows.merge(w, r.getLong(1), Long.box(_) + Long.box(_))
+        }
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    val killer = new Thread(() => {
+      Thread.sleep(2500)
+      Runtime.getRuntime.exec(
+        Array("pkill", "-9", "-f", "CoarseGrainedExecutorBackend")).waitFor()
+    })
+    killer.start()
+    try {
+      while (Option(q.lastProgress).forall(_.batchId < batches) && q.isActive)
+        Thread.sleep(100)
+    } finally q.stop()
+    q.awaitTermination()
+    killer.join()
+    assert(listener.lostExecutorTasks.get() > before,
+      "the kill landed outside the query — the test proved nothing")
+    import scala.jdk.CollectionConverters._
+    val finalized = windows.asScala
+    assert(finalized.size >= batches / 2,
+      s"too few finalized windows to judge: ${finalized.size}")
+    val wrong = finalized.filter { case (_, n) => n != rowsPerBatch }
+    assert(wrong.isEmpty,
+      s"windows lost or double-counted rows across the executor loss: $wrong")
   }
 
   override def afterAll(): Unit = {
