@@ -122,8 +122,11 @@ object GenScale {
     // directory. File counts scale with the copy count so per-file row
     // counts stay in the sf1-proven range.
     val chunkSize = args.lift(3).map(_.toInt).getOrElse(25).max(1)
+    // optional 5th arg: comma-separated table subset — a documents-only
+    // decade-4 corpus needn't pay for 2.4B lineitem rows
+    val only = args.lift(4).map(_.split(',').toSet)
     val fileScale = math.max(1, copies / 10)
-    Tables.all.foreach { name =>
+    Tables.all.filter(n => only.forall(_.contains(n))).foreach { name =>
       val base = Tables.load(spark, src, name)
       def finalize(df: DataFrame): DataFrame =
         // events: write ts back as int64 nanos (the source wire format), so
