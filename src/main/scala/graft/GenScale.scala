@@ -125,6 +125,12 @@ object GenScale {
     // optional 5th arg: comma-separated table subset — a documents-only
     // decade-4 corpus needn't pay for 2.4B lineitem rows
     val only = args.lift(4).map(_.split(',').toSet)
+    only.foreach { names =>
+      val unknown = names.diff(Tables.all.toSet)
+      require(unknown.isEmpty,
+        s"unknown table(s) ${unknown.toSeq.sorted.mkString(",")} in subset arg; " +
+          s"valid: ${Tables.all.mkString(",")}")
+    }
     val fileScale = math.max(1, copies / 10)
     Tables.all.filter(n => only.forall(_.contains(n))).foreach { name =>
       val base = Tables.load(spark, src, name)

@@ -726,8 +726,8 @@ object SparkEntry {
         .select("event_id", "part", "subpartition")
     }),
 
-    // murmur2 is not computable in DuckDB — rows-only check; exact-value
-    // parity is pinned by GraftHashSpec known-answer tests instead.
+    // murmur2 parity: GraftHashSpec known-answer tests + a full DuckDB SQL
+    // reimplementation in oracleSql (hash-matched end to end).
     "subpartition_hash" -> ((s, d) => {
       val e = T(s, d, "events").withColumn("part", col("user_id") % 4)
       Subpartitions.byKeyHash(e,

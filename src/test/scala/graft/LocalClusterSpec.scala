@@ -32,6 +32,17 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val dir = "/root/testdata/sf0.001"
 
+  /** SIGKILL only THIS app's executors: a bare `pkill -f CoarseGrained-
+    * ExecutorBackend` would hit every Spark job on a shared host. The
+    * backend launch command carries `--app-id <appId>`, so scoping the
+    * pattern to it is exact.
+    */
+  private def killOwnExecutors(): Unit =
+    Runtime.getRuntime.exec(Array(
+      "pkill", "-9", "-f",
+      s"CoarseGrainedExecutorBackend.*${spark.sparkContext.applicationId}")
+    ).waitFor()
+
   private object listener extends SparkListener {
     val speculativeStarts = new java.util.concurrent.atomic.AtomicInteger(0)
     val injectedFailures = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -160,8 +171,7 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     val before = listener.lostExecutorTasks.get()
     val killer = new Thread(() => {
       Thread.sleep(1500) // let the map stage finish and the reduce start
-      Runtime.getRuntime.exec(
-        Array("pkill", "-9", "-f", "CoarseGrainedExecutorBackend")).waitFor()
+      killOwnExecutors()
     })
     killer.start()
     val survived = RowCanon.collect(plan(docs))
@@ -198,8 +208,7 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     val before = listener.lostExecutorTasks.get()
     val killer = new Thread(() => {
       Thread.sleep(2000)
-      Runtime.getRuntime.exec(
-        Array("pkill", "-9", "-f", "CoarseGrainedExecutorBackend")).waitFor()
+      killOwnExecutors()
     })
     killer.start()
     val survived = run()
@@ -242,8 +251,7 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       .start()
     val killer = new Thread(() => {
       Thread.sleep(2500)
-      Runtime.getRuntime.exec(
-        Array("pkill", "-9", "-f", "CoarseGrainedExecutorBackend")).waitFor()
+      killOwnExecutors()
     })
     killer.start()
     try {

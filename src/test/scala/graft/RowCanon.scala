@@ -34,7 +34,10 @@ object RowCanon {
   }
 
   private def fmtDouble(d: Double): String =
-    if (d.isNaN || d.isInfinite || d == 0.0) d.toString
+    if (d.isNaN || d.isInfinite) d.toString
+    // -0.0 == 0.0 in IEEE compare but toString distinguishes them; the sign
+    // of a zero sum is partial-order-dependent, so canonicalize both to "0.0"
+    else if (d == 0.0) "0.0"
     else BigDecimal(d).round(mc).bigDecimal.stripTrailingZeros.toPlainString
 
   /** Rows as sorted canonical strings (schema prefixed so a column rename
