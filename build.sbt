@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the LAST stdout line of `runMain graft.Bench`
+// as the metric JSON. Two sbt behaviors break that: the "[info] " prefix
+// on forked-process output, and the trailing "[success] Total time..."
+// epilogue. StdoutOutput pipes the forked JVM's stdout through verbatim,
+// and showSuccess drops the epilogue — the metric line IS the last line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -254,7 +254,15 @@ object Bench {
     val compact = header.dropRight(1) +
       s""","queries":{${slowestFirst.take(kept).mkString(",")}}""" +
       s""","queries_omitted":${primary.size - kept}}"""
-    println(compact)
+    // fixed-path copy the driver/judge can read even if the stdout window
+    // truncates: latest run wins, independent of SF naming
+    java.nio.file.Files.write(
+      new java.io.File(outDir, "summary.json").toPath, compact.getBytes)
     spark.stop()
+    // absolute last stdout line (after Spark's shutdown logs, which go to
+    // stderr): with build.sbt's StdoutOutput + showSuccess := false this
+    // survives as the driver's parsed last line
+    println(compact)
+    System.out.flush()
   }
 }
