@@ -187,7 +187,11 @@ object Bench {
     // the scale ratio compares warm-vs-warm instead of charging the whole
     // cold-compile cost to the primary (which inflated ratios past the
     // super-linear threshold for cheap queries).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    // min-of-3 by default: with 2 reps, ONE contention spike (driver
+    // co-tenancy, GC from the previous query) lands on a 1.5-2.5 s query
+    // and reads as a >10x scale ratio — r8's json_extract/join_left
+    // artifact discrepancy came exactly this way
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     // optional query subset (comma-separated names): the sf1 heavy-tail
     // sweep runs ~20 queries at 10x data rather than the whole inventory
     val only = sys.env.get("SPARK_GRAFT_QUERIES")

@@ -726,6 +726,38 @@ object SparkEntry {
         .select("event_id", "part", "subpartition")
     }),
 
+    // S1 executed: a deterministic slice of events is PRODUCED into a
+    // fresh file-backed kafka-wire log (4 partitions, key/value/header
+    // payloads), then read back through the DSv2 source (format
+    // "kafka-wire") and aggregated per partition — codec, offset
+    // assignment, header transport, and timestamp fidelity all land in
+    // the hash compare. The oracle recomputes offsets as
+    // row_number()-per-partition over the same slice.
+    "kafka_wire_roundtrip" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("kw-oracle").toString
+      T(s, d, "events")
+        .select("event_id", "user_id", "event_type", "props", "ts")
+        .orderBy("event_id").limit(2000).collect()
+        .foreach { r =>
+          graft.sources.KafkaWireLog.send(root, "events",
+            (r.getLong(0) % 4).toInt, r.getTimestamp(4).getTime,
+            r.getLong(1).toString.getBytes("UTF-8"),
+            r.getString(3).getBytes("UTF-8"),
+            headers = Seq("et" -> r.getString(2).getBytes("UTF-8")))
+        }
+      s.read.format("kafka-wire")
+        .option("path", root).option("subscribe", "events").load()
+        .groupBy(col("topic"), col("partition"))
+        .agg(count(lit(1)).as("n"),
+          max(col("offset")).as("max_offset"),
+          sum(col("offset") * col("key").cast("string").cast("long"))
+            .as("ord_check"),
+          sum(length(col("value").cast("string"))).as("value_bytes"),
+          sum(length(graft.sources.Sources.headerValue(col("headers"), "et")
+            .cast("string"))).as("header_bytes"),
+          sum(unix_millis(col("timestamp"))).as("ts_check"))
+    }),
+
     // murmur2 parity: GraftHashSpec known-answer tests + a full DuckDB SQL
     // reimplementation in oracleSql (hash-matched end to end).
     "subpartition_hash" -> ((s, d) => {
@@ -1576,6 +1608,22 @@ object SparkEntry {
     * violated invariant hash-mismatches. Each is additionally pinned by
     * known-answer or property specs. */
   def oracleSql: Map[String, String] = Map(
+
+    "kafka_wire_roundtrip" ->
+      """WITH sel AS (SELECT * FROM events ORDER BY event_id LIMIT 2000),
+        |w AS (SELECT CAST(event_id % 4 AS INT) AS part, user_id, props, ts,
+        |        event_type,
+        |        row_number() OVER (PARTITION BY event_id % 4
+        |                           ORDER BY event_id) - 1 AS off
+        |      FROM sel)
+        |SELECT 'events' AS topic, part AS "partition",
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(max(off) AS BIGINT) AS max_offset,
+        |       CAST(sum(off * user_id) AS BIGINT) AS ord_check,
+        |       CAST(sum(length(props)) AS BIGINT) AS value_bytes,
+        |       CAST(sum(length(event_type)) AS BIGINT) AS header_bytes,
+        |       CAST(sum(epoch_ms(ts)) AS BIGINT) AS ts_check
+        |FROM w GROUP BY 1, 2""".stripMargin,
 
     "approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,

@@ -26,12 +26,22 @@ object Sources {
     * Requires the spark-sql-kafka connector on the cluster classpath. */
   def kafkaStream(spark: SparkSession, bootstrap: String,
                   subscribe: String,
-                  options: Map[String, String] = Map.empty): DataFrame = {
-    val base = spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", subscribe)
-    options.foldLeft(base) { case (b, (k, v)) => b.option(k, v) }.load()
-  }
+                  options: Map[String, String] = Map.empty): DataFrame =
+    wireStream(spark, "kafka",
+      Map("kafka.bootstrap.servers" -> bootstrap, "subscribe" -> subscribe)
+        ++ options)
+
+  /** The same streaming read against any source speaking the Kafka wire
+    * schema. In production that's `format("kafka")` (via [[kafkaStream]]);
+    * in this jar-less sandbox the file-backed [[KafkaWire]] DSv2 source
+    * (`format("kafka-wire")`) executes the identical subscribe/assign +
+    * offset-range + rate-limit semantics, so the whole downstream pipeline
+    * runs end-to-end either way. */
+  def wireStream(spark: SparkSession, format: String,
+                 options: Map[String, String]): DataFrame =
+    options.foldLeft(spark.readStream.format(format)) {
+      case (b, (k, v)) => b.option(k, v)
+    }.load()
 
   /** Normalize a Kafka-wire-schema frame (streaming or batch) into the
     * engine shape: subKey = topic/partition/subpartition, string payload.
