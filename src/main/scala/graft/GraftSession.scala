@@ -32,6 +32,16 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // NOTE on ObjectHashAggregate (collect_list / collect_top_k): it
+    // falls back to SORT-based aggregation after 128 distinct keys per
+    // task, so many-group collects always sort their input. Raising the
+    // threshold was measured OOMing the 8 GB bench heap at sf100 (the
+    // object hash map's memory is NOT tracked by the memory manager —
+    // that's why the default is conservative, and why the engine keeps
+    // it). The scale answer is row WIDTH, not the threshold: every
+    // grouped-collect exchange in the engine carries ids/signatures only
+    // (20-ish bytes), so the fallback sort is an in-memory sort of a few
+    // MB per task — see Dedup.embeddingLshPairs.
     .config("spark.ui.enabled", "false")
 
   /** Build + register the graft SQL functions (graft_cosine, ...). */

@@ -309,12 +309,21 @@ object SparkEntry {
           (col("v_or_null") <=> lit(null).cast("double")).as("is_null_safe"))
     }),
 
+    // r9: composed from SetOps.distinctCount (raw-shuffle two-phase
+    // distinct) instead of two countDistinct in one agg — the builtin
+    // plan's Expand doubles every row and its partial-dedup hash state
+    // (∝ rows scanned per task) spilled ∝ N under the bench heap (5.5 GB
+    // at sf10, excluded at sf100). Equality pinned by SetOpsSpec; the
+    // unchanged oracle hash-matches. Keys here are never null (TPC-H),
+    // matching countDistinct's null exclusion.
     "agg_distinct" -> ((s, d) => {
-      T(s, d, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(col("l_partkey")).as("n_part"),
-          count(lit(1)).as("cnt"))
+      val li = T(s, d, "lineitem")
+      val supp = SetOps.distinctCount(li, Seq(col("l_returnflag")),
+        col("l_suppkey"), "n_supp")
+      val part = SetOps.distinctCount(li, Seq(col("l_returnflag")),
+        col("l_partkey"), "n_part")
+      val cnt = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
+      supp.join(part, Seq("l_returnflag")).join(cnt, Seq("l_returnflag"))
     }),
 
     "topk_sort" -> ((s, d) => {
@@ -341,19 +350,22 @@ object SparkEntry {
     // has several rows per orderkey; one instance is cancelled per F
     // order), INTERSECT ALL keeps min multiplicity. Both aggregate after,
     // so the oracle compares the full multiset behavior compactly.
-    "set_except_all" -> ((s, d) => {
-      T(s, d, "lineitem").select(col("l_orderkey").as("k"))
-        .exceptAll(T(s, d, "orders").filter(col("o_orderstatus") === "F")
-          .select(col("o_orderkey").as("k")))
-        .groupBy(col("k")).agg(count(lit(1)).as("n"))
-    }),
+    // r9: SetOps composition forms — each side reduces to (key,
+    // multiplicity) before any exchange, so nothing sort-merges raw rows
+    // (the builtin INTERSECT/EXCEPT ALL cost the r8 sweep named at ~4.5 GB
+    // sf10 spill). ≡ exceptAll/intersectAll + groupBy count (SetOpsSpec
+    // seeded property, nulls included); oracles unchanged.
+    "set_except_all" -> ((s, d) =>
+      SetOps.exceptAllCounts(
+        T(s, d, "lineitem").select(col("l_orderkey").as("k")),
+        T(s, d, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey").as("k")))),
 
     "set_intersect_all" -> ((s, d) => {
       val li = T(s, d, "lineitem")
-      li.filter(col("l_quantity") >= 25).select(col("l_orderkey").as("k"))
-        .intersectAll(li.filter(col("l_discount") <= 0.03)
-          .select(col("l_orderkey").as("k")))
-        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      SetOps.intersectAllCounts(
+        li.filter(col("l_quantity") >= 25).select(col("l_orderkey").as("k")),
+        li.filter(col("l_discount") <= 0.03).select(col("l_orderkey").as("k")))
     }),
 
     "union_all" -> ((s, d) => {
@@ -443,15 +455,28 @@ object SparkEntry {
     // whenever k/N terminates in decimal with a 5 in the 7th place (93 rows at
     // sf10, N≈3e6): Spark rounds the shortest decimal string HALF_UP while
     // DuckDB rounds the binary value, and the nearest double sits below the tie.
+    // r9: the scan form (operators.Windows) replaces the plain partitioned
+    // window — o_orderpriority has 5 values, so the window form funnels
+    // 150M sf100 rows through 5 sort tasks (98 s, spilling, parallelism
+    // capped at 5 forever); rankFunctionsScan spreads each group over 256
+    // balanced sort groups. Output proven identical (WindowsScanSpec
+    // adversarial timelines + this unchanged oracle): ntile/pct_rank/cume
+    // are arithmetic over (row_number, group size), and the doubles are
+    // the same single IEEE division both ways. first_value over the
+    // running frame == the group's min-(price,key) row: a broadcast
+    // min_by join, not a window.
     "window_ntile" -> ((s, d) => {
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-      T(s, d, "orders").select(
-        col("o_orderkey"), col("o_orderpriority"),
-        ntile(4).over(w).as("quartile"),
-        percent_rank().over(w).as("pct_rank"),
-        cume_dist().over(w).as("cume"),
-        first(col("o_orderkey")).over(w).as("cheapest_key"))
+      val o = T(s, d, "orders")
+      val ranked = Windows.rankFunctionsScan(o, Seq(col("o_orderpriority")),
+        col("o_totalprice"), col("o_orderkey"), ntileK = 4)
+      val cheapest = o.groupBy(col("o_orderpriority").as("__cp_g"))
+        .agg(min_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("cheapest_key"))
+      ranked.join(broadcast(cheapest),
+          col("__cp_g") === col("o_orderpriority"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("ntile").as("quartile"), col("pct_rank"), col("cume"),
+          col("cheapest_key"))
     }),
 
     // Statistical aggregates. skewness/kurtosis are verified against a
@@ -804,13 +829,16 @@ object SparkEntry {
     // precision 1, so the blocked pair set provably equals the exact
     // all-pairs hamming<=3 set the oracle computes.
     "dedup_simhash" -> ((s, d) => {
-      // fused one-pass kernel: no explode, no 60-way vote aggregation, no
-      // shuffle before banding (SimhashMd5KernelSpec pins bit-equality with
-      // the explode+vote column-algebra formulation the oracle mirrors)
-      val sig = T(s, d, "documents").select(col("doc_id"),
-        graft.functions.GraftFunctions
-          .simhashMd5(TextFunctions.tokens(col("text"))).as("sim"))
-      Dedup.simhashPairsFromSig(sig, sigBits = 60, bands = 4, maxHamming = 3)
+      // routed through simhashPairsAuto (r8 verdict item 2): below 2^18
+      // docs — every driver SF — this takes the narrow 60-bit md5 path
+      // (fused one-pass kernel: no explode, no 60-way vote aggregation, no
+      // shuffle before banding; SimhashMd5KernelSpec pins bit-equality
+      // with the explode+vote formulation the oracle mirrors), which is
+      // what this oracle reproduces. At >= 2^18 docs the router switches
+      // to the wide 120-bit form whose own full-row oracle is
+      // dedup_simhash_wide; AutoSimhashSpec pins the switch point.
+      Dedup.simhashPairsAuto(T(s, d, "documents"),
+        col("doc_id"), col("text"), maxHamming = 3)
     }),
 
     // The production path: fused codegen SimHash64 kernel (custom 64-bit
@@ -1056,10 +1084,15 @@ object SparkEntry {
     // nlist follows the √N law (Similarity.autoStride): a pinned stride
     // makes nlist ∝ N and assignment ∝ N² — measured ×100/decade² at the
     // sf10 sweep before this query was re-parameterized.
+    // r9: index build routes through ivfIndexAuto — flat exact assignment
+    // (what this full-SQL oracle reproduces) below 2^17 vectors, i.e. at
+    // every driver SF; the hierarchical ≈N^1.25 build above it, so the
+    // N^1.5 flat law can't ride into the 10^8-vector regime. HierIvfSpec
+    // pins the switch point and probe-all-cells ≡ flat equivalence.
     "similarity_ivf" -> ((s, d) => {
       val e = T(s, d, "embeddings")
       val stride = Similarity.autoStride(e)
-      val idx = Similarity.ivfIndex(e, centroidStride = stride)
+      val idx = Similarity.ivfIndexAuto(e, centroidStride = stride)
       Similarity.ivfTopK(e.filter(col("vec_id") < 8), idx, e,
         centroidStride = stride, nProbe = 3, k = 5)
     }),

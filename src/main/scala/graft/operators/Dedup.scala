@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextFunctions}
@@ -141,24 +140,22 @@ object Dedup {
     * collect + pair expansion.
     *
     * The cap bounds the quadratic pair blowup of an adversarial hot bucket
-    * (≤ cap²/2 pairs) AND the aggregation state (collect_list only ever
-    * sees ≤ cap rows per bucket). The capping window partitions by
-    * (band, bucket) — thousands of small partitions, NOT a global or
-    * per-query window — and its sort spills gracefully, so a hot bucket
-    * degrades to disk instead of OOMing an executor. The groupBy reuses the
-    * window's hash partitioning, so the whole thing costs one shuffle of
-    * ~20-byte rows. Keeping the *smallest* ids is deterministic under
-    * retries and arrival order. */
+    * (≤ cap²/2 pairs) AND the aggregation state: capping is a bounded
+    * smallest-cap-ids aggregate ([[GraftFunctions.collectSmallest]], a
+    * size-cap priority queue with map-side partial aggregation), NOT a
+    * row_number window — the window form shuffled every raw banded row
+    * and externally sorted each bucket (the r8 sf100 sweep measured that
+    * sort spilling ~137 GB memory-equivalent on the embedding variant).
+    * The whole thing costs one shuffle of ≤cap-element partial states.
+    * Keeping the *smallest* ids is deterministic under retries and
+    * arrival order. */
   private[graft] def bucketPairs(banded: DataFrame, idCol: String,
                                  bucketCap: Int): DataFrame = {
     require(bucketCap > 1, "bucketCap must allow at least one pair")
-    val wB = Window.partitionBy(col("band"), col("bucket"))
-      .orderBy(col(idCol).asc)
     banded
-      .withColumn("rn", row_number().over(wB))
-      .filter(col("rn") <= bucketCap)
       .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .agg(sort_array(GraftFunctions.collectSmallest(col(idCol), bucketCap))
+        .as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
@@ -200,8 +197,8 @@ object Dedup {
     * Same shuffle economics as [[minhashLsh]]: the grouped pair expansion
     * evaluates the signature subtree once (no self-join), carries only
     * (doc_id, sim) = 16 bytes/row through the bucket shuffle, and the
-    * per-bucket capping window (spillable sort over thousands of small
-    * bucket partitions) bounds hot-bucket state and pair blowup.
+    * bounded smallest-cap aggregate (collectSmallest — no in-bucket sort)
+    * bounds hot-bucket state and pair blowup.
     */
   def simhashPairsFromSig(sig: DataFrame, sigBits: Int, bands: Int,
                           maxHamming: Int,
@@ -216,14 +213,10 @@ object Dedup {
       shiftright(col("sim"), b * bitsPerBand).bitwiseAND(lit(mask))): _*)
     val banded = sig.select(col("doc_id"), col("sim"),
       posexplode(bandCols).as(Seq("band", "bucket")))
-    val wB = Window.partitionBy(col("band"), col("bucket"))
-      .orderBy(col("doc_id").asc)
     banded
-      .withColumn("rn", row_number().over(wB))
-      .filter(col("rn") <= bucketCap)
       .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sim"))))
-        .as("ms"))
+      .agg(sort_array(GraftFunctions.collectSmallest(
+        struct(col("doc_id"), col("sim")), bucketCap)).as("ms"))
       .filter(size(col("ms")) > 1)
       .select(explode(expr(
         """flatten(transform(ms, (x, i) ->
@@ -286,14 +279,11 @@ object Dedup {
       shiftright(col("sim_b"), 30).bitwiseAND(lit(mask)))
     val banded = sig.select(col("doc_id"), col("sim_a"), col("sim_b"),
       posexplode(bandCols).as(Seq("band", "bucket")))
-    val wB = Window.partitionBy(col("band"), col("bucket"))
-      .orderBy(col("doc_id").asc)
     banded
-      .withColumn("rn", row_number().over(wB))
-      .filter(col("rn") <= bucketCap)
       .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sim_a"),
-        col("sim_b")))).as("ms"))
+      .agg(sort_array(GraftFunctions.collectSmallest(
+        struct(col("doc_id"), col("sim_a"), col("sim_b")), bucketCap))
+        .as("ms"))
       .filter(size(col("ms")) > 1)
       .select(explode(expr(
         """flatten(transform(ms, (x, i) ->
@@ -308,6 +298,38 @@ object Dedup {
           GraftFunctions.hamming(col("p.sab"), col("p.sbb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Corpus-size-routed simhash near-dup — the autoStride/autoBandBits
+    * pattern applied to SIGNATURE WIDTH, so no caller can ride the narrow
+    * form into the regime where its bucket space saturates: the narrow
+    * 60-bit md5 signature (4×15-bit bands, 2^15 buckets/band) has expected
+    * band occupancy N/2^15, and with it the map-side hamming verification
+    * grows ∝ N²/2^15 (measured ×16.8/decade at the sf100 5M-doc sweep).
+    * One bounded count() routes the call: below `wideThreshold` docs the
+    * narrow form (exact-recall, DuckDB-reproducible) runs; at or above it
+    * the 120-bit wide form ([[simhashPairsWide]], 2^30 buckets/band) takes
+    * over. The default threshold 2^18 puts the switch at narrow occupancy
+    * ~8 — well before the quadratic term is measurable, an order of
+    * magnitude before it dominates.
+    *
+    * NOTE (same caveat as [[simhashPairsWide]]): the 120-bit hamming is a
+    * FINER similarity measure than the 60-bit one, so the switch changes
+    * the measure by design — exactly the way [[autoBandBits]] changes the
+    * LSH geometry with corpus size. Callers needing a fixed measure call
+    * the specific form directly. */
+  def simhashPairsAuto(docs: DataFrame, id: Column, text: Column,
+                       maxHamming: Int = 3, bucketCap: Int = 10000,
+                       wideThreshold: Long = 1L << 18): DataFrame = {
+    val n = docs.select(id).count()
+    if (n >= wideThreshold)
+      simhashPairsWide(docs, id, text, maxHamming, bucketCap)
+    else {
+      val sig = docs.select(id.as("doc_id"),
+        GraftFunctions.simhashMd5(TextFunctions.tokens(text)).as("sim"))
+      simhashPairsFromSig(sig, sigBits = 60, bands = 4,
+        maxHamming = maxHamming, bucketCap = bucketCap)
+    }
   }
 
   /** Fail-fast misuse guard for the quadratic-per-block pair operators:
@@ -438,7 +460,26 @@ object Dedup {
     require(bits <= 62, s"bitsPerBand=$bits exceeds the 62-bit hash range")
     // quantized sidecars (1 B/dim codes, max-abs scale, exact norm) are
     // computed IN the banding projection — pure map-side, no join — and
-    // ride the bucket shuffle at ~dim+16 bytes/row
+    // ride the bucket shuffle at ~dim+16 bytes/row.
+    //
+    // r9 scale note (three experiments at sf100, 2M vectors): the grouped
+    // collect below ALWAYS sorts its shuffled input — ObjectHashAggregate
+    // falls back to sort-based aggregation past 128 keys/task, and with
+    // ~16M banded rows over 32 tasks that external sort under the
+    // 150 MB/task budget is the measured "LSH spill" (the r8 hypothesis
+    // that the row_number window was the cause is disproven: replacing it
+    // with the bounded smallest-cap aggregate kept output identical and
+    // cut spill only ~18%, 60.8 → 49.9 GB memory-equivalent, because the
+    // fallback sorts either way). Raising the fallback threshold OOMs
+    // (the object hash map is memory-untracked — the conservative default
+    // IS the safety mechanism); stripping sidecars off the banding
+    // exchange and prefiltering after a pair-level dedup+join is ~2×
+    // WORSE (the raw ~110M-pair candidate stream then crosses three
+    // exchanges and a 110M-key dedup). The in-expansion prefilter below
+    // — candidates die map-side before anything pair-shaped reaches an
+    // exchange — remains the right shape; the residual spill is healthy
+    // bounded external-sort disk churn under a deliberately tiny heap,
+    // linear in input, and absent at sf10 and below.
     val sidecarCols = Seq(
       GraftFunctions.int8Codes(vec).as("c8"),
       GraftFunctions.int8Scale(vec).as("s8"),
@@ -471,7 +512,7 @@ object Dedup {
     // sf10 sweep measured why: verifying candidates by joining the pair
     // frame against f32 vectors shuffled pairs × 256 B intermediates —
     // 2.3 GB at 200k vectors (×179 the sf1 bytes), the heaviest exchange
-    // in the engine. Now pair payloads never cross the wire: survivors
+    // in the engine. Pair payloads never cross the wire: survivors
     // (ids only) are deduped, then exact cosine re-verifies just them, so
     // the emitted pair set is IDENTICAL (the bound only lets through
     // false positives, which exact verification then drops).
@@ -483,20 +524,20 @@ object Dedup {
     // prefix norms diverge from the precomputed full norms — skip the
     // prefilter entirely. Zero-norm vectors score 0.0, exactly the
     // kernel's convention. The 1e-4 slack absorbs round(cos, 4).
-    val wB = Window.partitionBy(col("band"), col("bucket"))
-      .orderBy(col("vec_id").asc)
     val p = col("p")
     val errC = 2.0 / 254.0 + 1.0 / 64516.0
     val approxCos = when(col("nprod") > 0.0,
       (col("dotq") * col("sprod") / lit(16129.0) +
         col("n").cast("double") * col("sprod") * lit(errC)) / col("nprod"))
       .otherwise(lit(0.0))
+    // bounded smallest-cap collect (collectSmallest, selection identical
+    // to the former row_number window: vec_id leads the struct) feeding
+    // the in-bucket pair expansion — see the r9 scale note above
     val survivors = banded
-      .withColumn("rn", row_number().over(wB))
-      .filter(col("rn") <= bucketCap)
       .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(struct(
-        col("vec_id"), col("c8"), col("s8"), col("nrm")))).as("ms"))
+      .agg(sort_array(GraftFunctions.collectSmallest(struct(
+        col("vec_id"), col("c8"), col("s8"), col("nrm")), bucketCap))
+        .as("ms"))
       .filter(size(col("ms")) > 1)
       .select(explode(flatten(transform(col("ms"), (x, i) =>
         transform(slice(col("ms"), i + lit(2), size(col("ms")) - i - lit(1)),

@@ -92,9 +92,10 @@ object Profile {
     * `try_cast` to double (non-numeric columns profile as null there;
     * DuckDB mirrors with TRY_CAST). Distinct counts are HLL sketches
     * (`rsd` relative error, bounded state); `exactDistinct = true` adds an
-    * exact `n_distinct` column for verification — that variant plans an
-    * Expand (input × columns) and is for oracles and small tables, not
-    * the 100 TB path. */
+    * exact `n_distinct` column via one raw-shuffle two-phase distinct per
+    * column (no Expand, no unbounded partial-dedup state — the r8-named
+    * 18.3 GB sf10 spill of the old countDistinct form), at the cost of
+    * one extra column-pruned scan per profiled column. */
   def columnProfile(df: DataFrame, cols: Seq[String], rsd: Double = 0.05,
                     exactDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
@@ -118,25 +119,39 @@ object Profile {
           .as(s"__p_min_$i"),
         expr(s"round(max(try_cast(${ident(c)} AS DOUBLE)), 2)")
           .as(s"__p_max_$i")
-      ) ++ (if (exactDistinct)
-              Seq(countDistinct(expr(ident(c))).as(s"__p_ex_$i"))
-            else Nil)
+      )
     }
     val wide = df.agg(count(lit(1)).as("__p_n"), aggs: _*)
     val stackCols = cols.indices.map { i =>
-      s"${strLit(cols(i))}, __p_cnt_$i, __p_apx_$i, __p_min_$i, __p_max_$i" +
-        (if (exactDistinct) s", __p_ex_$i" else "")
+      s"${strLit(cols(i))}, __p_cnt_$i, __p_apx_$i, __p_min_$i, __p_max_$i"
     }.mkString(", ")
     // output name is col_name, not "column" — reserved word in DuckDB
-    val names = "col_name, __p_c, approx_distinct, min_v, max_v" +
-      (if (exactDistinct) ", n_distinct" else "")
+    val names = "col_name, __p_c, approx_distinct, min_v, max_v"
     val long = wide.select(col("__p_n"),
       expr(s"stack(${cols.size}, $stackCols) AS ($names)"))
-    val base = Seq(col("col_name"),
+    val base = long.select(col("col_name"),
       round(lit(1.0) - col("__p_c") / col("__p_n"), 4).as("null_frac"),
       col("approx_distinct"), col("min_v"), col("max_v"))
-    long.select(
-      (if (exactDistinct) base :+ col("n_distinct") else base): _*)
+    if (!exactDistinct) base
+    else {
+      // r9: per-column raw-shuffle two-phase distinct (SetOps.distinctCount
+      // mechanics) instead of countDistinct inside the wide agg — the old
+      // form's Expand (input × columns) and per-task partial-dedup state
+      // spilled 18.3 GB at sf10 and was excluded at sf100. One extra
+      // column-pruned scan per profiled column; each yields exactly one
+      // (col_name, n_distinct) row (0 for an all-null column, matching
+      // countDistinct), broadcast-joined onto the long profile.
+      val exacts = cols.map { c =>
+        df.select(expr(ident(c)).as("__p_v"))
+          .where(col("__p_v").isNotNull)
+          .repartition(col("__p_v")).distinct()
+          .agg(count(lit(1)).as("n_distinct"))
+          .select(lit(c).as("col_name"), col("n_distinct"))
+      }.reduce(_ unionByName _)
+      base.join(broadcast(exacts), Seq("col_name"))
+        .select(col("col_name"), col("null_frac"), col("approx_distinct"),
+          col("min_v"), col("max_v"), col("n_distinct"))
+    }
   }
 
   /** Word-repetition quality signals per document (the Gopher repetition

@@ -191,6 +191,83 @@ object Similarity {
   def ivfIndex(corpus: DataFrame, centroidStride: Int): DataFrame =
     ivfIndexFrom(corpus, strideCentroids(corpus, centroidStride))
 
+  /** Corpus-size threshold above which [[ivfIndexAuto]] switches to the
+    * hierarchical assignment: below it the flat scan's nlist ≈ 2√N
+    * centroids per row is cheap (≤ ~720 dots at 2^17 vectors) and exact;
+    * above it the N^1.5 law dominates build time. */
+  val hierThreshold: Long = 1L << 17
+
+  /** Corpus-size-routed IVF build (the autoStride/autoSimhash pattern):
+    * one bounded count picks flat (exact argmax, oracle-reproducible)
+    * below [[hierThreshold]] vectors, hierarchical ([[ivfIndexHier]],
+    * ≈ N^1.25 assignment) at or above it — so no caller rides the flat
+    * N^1.5 build into the 10^8-vector regime. */
+  def ivfIndexAuto(corpus: DataFrame, centroidStride: Int,
+                   wProbe: Int = 2): DataFrame = {
+    if (corpus.count() >= hierThreshold)
+      ivfIndexHier(corpus, strideCentroids(corpus, centroidStride), wProbe)
+    else ivfIndex(corpus, centroidStride)
+  }
+
+  /** Hierarchical (two-level) IVF assignment: the nlist fine centroids
+    * are grouped into ≈ √nlist coarse cells (coarse seeds = ascending-id
+    * stride sample of the fine set; each fine centroid joins its
+    * flat-nearest seed's cell — an nlist × √nlist driver-side pass over
+    * the already-driver-resident centroid frame), and each corpus row
+    * scans coarse cells first, then only the fine centroids of its
+    * `wProbe` best cells ([[graft.functions.HierCentroidBank]]). Same
+    * map-only/no-shuffle execution as the flat kernel; assignment cost
+    * drops from N·nlist ≈ N^1.5 to ≈ N^1.25. Assignment is approximate
+    * at cell boundaries (exact iff the true nearest fine centroid lies
+    * in a probed cell — raise `wProbe` to trade build time for boundary
+    * accuracy); with `wProbe >= #cells` it equals the flat assignment,
+    * the equivalence HierIvfSpec pins. Probing ([[ivfTopKWith]]) is
+    * unchanged — it ranks the full fine-centroid set per query. */
+  def ivfIndexHier(corpus: DataFrame, centroids: DataFrame,
+                   wProbe: Int = 2): DataFrame = {
+    val fine = centroids
+      .select(col("centroid_id").cast("long"),
+        col("centroid").cast("array<float>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    require(fine.nonEmpty, "need at least one centroid")
+    val coarseStride = math.max(1, math.floor(math.sqrt(fine.length)).toInt)
+    val seeds = fine.indices.filter(_ % coarseStride == 0).toArray
+    val coarse = new graft.functions.CentroidBank(
+      seeds.map(i => fine(i)._1), seeds.map(i => fine(i)._2))
+    // each fine centroid joins its flat-nearest seed's cell (lowest seed
+    // id on ties — CentroidBank.assign's rule); cells keep ascending id
+    // order for the deterministic scan
+    val members = Array.fill(seeds.length)(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    val seedIdToCell = seeds.zipWithIndex
+      .map { case (fi, cell) => fine(fi)._1 -> cell }.toMap
+    fine.indices.foreach { i =>
+      val seedId = coarse.assign(
+        org.apache.spark.sql.catalyst.util.ArrayData
+          .toArrayData(fine(i)._2))
+      members(seedIdToCell(seedId)) += i
+    }
+    // duplicate seed vectors can tie and drain a cell (everything joins
+    // the lower seed id): drop empty cells, rebuilding the coarse bank in
+    // lock-step so cell i always belongs to coarse centroid i
+    val occupied = members.indices.filter(members(_).nonEmpty).toArray
+    val coarseKept = new graft.functions.CentroidBank(
+      occupied.map(c => fine(seeds(c))._1),
+      occupied.map(c => fine(seeds(c))._2))
+    val cells = occupied.map { c =>
+      new graft.functions.CentroidBank(
+        members(c).map(i => fine(i)._1).toArray,
+        members(c).map(i => fine(i)._2).toArray)
+    }
+    val bank = new graft.functions.HierCentroidBank(coarseKept, cells, wProbe)
+    corpus.select(
+      GraftFunctions.nearestCentroidIdHier(col("embedding"), bank)
+        .as("centroid_id"),
+      col("vec_id"), col("embedding"))
+  }
+
   /** IVF bucketing against an explicit centroid frame (e.g. one refined by
     * [[trainCentroids]]). The centroid frame is materialized on the DRIVER
     * at plan time (it must be small — nlist × dim is an index design

@@ -18,6 +18,13 @@ object GraftShims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** `CollectTopK` (private[sql]) with the ordering reversed: a size-k
+    * bounded priority queue per group keeping the SMALLEST k elements,
+    * partial-aggregating map-side. See GraftFunctions.collectSmallest. */
+  def collectSmallestExpr(e: Expression, k: Int): Expression =
+    new org.apache.spark.sql.catalyst.expressions.aggregate
+      .CollectTopK(e, k, true, 0, 0).toAggregateExpression()
+
   /** True while the query's stream-execution thread is actually alive.
     * `StreamingQuery.isActive` flips false as soon as stop() marks the
     * state TERMINATED — even though a hung batch can keep the execution

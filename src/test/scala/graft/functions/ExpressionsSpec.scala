@@ -87,3 +87,48 @@ class GraftExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     new graft.GraftExtensions().apply(ext)
   }
 }
+
+class CollectSmallestSpec extends SparkSpecBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import GraftFunctions.collectSmallest
+
+  test("keeps exactly the k smallest per group, under partial aggregation") {
+    // ids arrive shuffled over 4 partitions so map-side partials must merge
+    val df = scala.util.Random.shuffle((0 until 100).toList)
+      .map(i => (i % 3, i.toLong)).toDF("g", "id").repartition(4)
+    val got = df.groupBy("g")
+      .agg(sort_array(collectSmallest(col("id"), 5)).as("ids"))
+      .as[(Int, Seq[Long])].collect().toMap
+    for (g <- 0 until 3)
+      assert(got(g) == (0 until 100).filter(_ % 3 == g).map(_.toLong).take(5),
+        s"group $g kept ${got(g)}")
+  }
+
+  test("equals the row_number window form on struct payloads (the cap contract)") {
+    val df = (0 until 200).map(i =>
+      (i % 4, 199L - i, s"payload$i")).toDF("b", "id", "pl").repartition(3)
+    val winForm = df
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("b"))
+          .orderBy(col("id").asc)))
+      .filter(col("rn") <= 7)
+      .groupBy("b").agg(sort_array(collect_list(struct(col("id"), col("pl"))))
+        .as("ms"))
+    val aggForm = df.groupBy("b")
+      .agg(sort_array(collectSmallest(struct(col("id"), col("pl")), 7))
+        .as("ms"))
+    val w = winForm.as[(Int, Seq[(Long, String)])].collect().toMap
+    val a = aggForm.as[(Int, Seq[(Long, String)])].collect().toMap
+    assert(a == w)
+    assert(a.values.forall(_.size == 7))
+  }
+
+  test("groups smaller than k pass through whole") {
+    val df = Seq((1, 10L), (1, 5L), (2, 7L)).toDF("g", "id")
+    val got = df.groupBy("g")
+      .agg(sort_array(collectSmallest(col("id"), 100)).as("ids"))
+      .as[(Int, Seq[Long])].collect().toMap
+    assert(got == Map(1 -> Seq(5L, 10L), 2 -> Seq(7L)))
+  }
+}

@@ -303,6 +303,71 @@ class WideSimhashSpec extends SparkSpecBase {
   }
 }
 
+class AutoSimhashSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.functions.{GraftFunctions, TextFunctions}
+
+  // same construction idea as WideSimhashSpec: identical docs (hamming 0)
+  // plus noise, small enough to compute both reference forms exactly
+  private val docs = (Seq(
+    (1L, "alpha beta gamma delta epsilon zeta"),
+    (2L, "alpha beta gamma delta epsilon zeta"),
+    (3L, "totally different content about shuffle exchanges")) ++
+    (10 to 50).map(i => (100L + i, s"n${i}a n${i}b n${i}c"))
+  ).toDF("doc_id", "text")
+
+  private def pairs(df: org.apache.spark.sql.DataFrame) =
+    df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+  /** The wide form is the only path whose plan splits tokens by md5-hex
+    * parity — a routing discriminator that can't be satisfied vacuously
+    * by the two measures agreeing on this corpus. */
+  private def routedWide(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.analyzed.toString.contains("md5(cast(")
+
+  test("below the threshold the router IS the narrow 60-bit form") {
+    val auto = Dedup.simhashPairsAuto(docs, col("doc_id"), col("text"),
+      maxHamming = 3, wideThreshold = 1000L)
+    assert(!routedWide(auto))
+    val narrow = Dedup.simhashPairsFromSig(
+      docs.select(col("doc_id"),
+        GraftFunctions.simhashMd5(TextFunctions.tokens(col("text")))
+          .as("sim")),
+      sigBits = 60, bands = 4, maxHamming = 3)
+    assert(pairs(auto) == pairs(narrow))
+    assert(pairs(auto).contains((1L, 2L)))
+  }
+
+  test("at the threshold the router switches to the wide 120-bit form") {
+    // corpus has 44 docs; threshold 44 must route wide — pinned by
+    // equality with the wide form AND by the boundary doc count itself
+    val n = docs.count()
+    val auto = Dedup.simhashPairsAuto(docs, col("doc_id"), col("text"),
+      maxHamming = 3, wideThreshold = n)
+    assert(routedWide(auto))
+    val wide = Dedup.simhashPairsWide(docs, col("doc_id"), col("text"),
+      maxHamming = 3)
+    assert(pairs(auto) == pairs(wide))
+    // one doc fewer than the threshold routes narrow again (strict >= gate)
+    val under = Dedup.simhashPairsAuto(docs, col("doc_id"), col("text"),
+      maxHamming = 3, wideThreshold = n + 1)
+    assert(!routedWide(under))
+    val narrow = Dedup.simhashPairsFromSig(
+      docs.select(col("doc_id"),
+        GraftFunctions.simhashMd5(TextFunctions.tokens(col("text")))
+          .as("sim")),
+      sigBits = 60, bands = 4, maxHamming = 3)
+    assert(pairs(under) == pairs(narrow))
+  }
+
+  test("default threshold keeps every driver SF on the oracled narrow path") {
+    // the dedup_simhash DuckDB oracle reproduces the NARROW signature;
+    // sf0.1 is the largest corpus the driver verifies (~50k docs) — the
+    // default 2^18 switch point must stay above it with margin
+    assert((1L << 18) > 100000L)
+  }
+}
+
 class SubpartitionsSpec extends SparkSpecBase {
   import spark.implicits._
 

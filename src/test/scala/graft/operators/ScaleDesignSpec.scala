@@ -355,10 +355,16 @@ class DedupScaleSpec extends SparkSpecBase {
       s"expected capped pair count, got ${pairs.length}")
     assert(pairs.forall { case (a, b) => a < cap && b < cap && a < b },
       "cap must keep the smallest ids and emit ordered pairs")
-    // the cap is a per-(band,bucket) WINDOW (spillable sort), not an agg
+    // the cap is a BOUNDED smallest-k aggregate with map-side partials —
+    // NOT a row_number window, whose in-bucket external sort was the r8
+    // sf100 spill finding (~137 GB memory-equivalent on the embedding
+    // variant). Pin both the mechanism and the absence of the old one.
     val plan = Dedup.bucketPairs(banded, "doc_id", cap)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("Window"), s"capping window missing:\n$plan")
+    assert(plan.contains("partial_collect_top_k"),
+      s"map-side bounded capping aggregate missing:\n$plan")
+    assert(!plan.contains("Window"),
+      s"capping regressed to a window sort:\n$plan")
   }
 }
 
