@@ -1067,6 +1067,14 @@ object SparkEntry {
       Dedup.embeddingNearDup(T(s, d, "embeddings"), col("vec_id"),
         col("embedding"), col("label"), threshold = 0.4)),
 
+    // SemDeDup: √N-law stride centroids + map-only bank assignment (both
+    // SQL-reproducible — the similarity_ivf oracle's asg CTE), then
+    // within-cluster cosine pairs; the higher id of every pair ≥ threshold
+    // is marked duplicate. Full-row output: one row per vector.
+    "semantic_dedup" -> ((s, d) =>
+      Dedup.semanticDedup(T(s, d, "embeddings"), col("vec_id"),
+        col("embedding"), threshold = 0.4)),
+
     // ---- similarity search (north star) --------------------------------
     "similarity_topk" -> ((s, d) => {
       val e = T(s, d, "embeddings")
@@ -1252,6 +1260,28 @@ object SparkEntry {
           docs.filter(col("doc_id") % 97 === 0), col("text"), n = 4)
         .select(col("doc_id"), col("lang"))
     }),
+
+    // Bloom-prefiltered decontamination: same exact output as
+    // `decontaminate` at ANY fpp (Bloom errors are false-positive-only and
+    // the exact semi-join kills those), so the oracle is the identical SQL.
+    // fpp = 0.25 on purpose: a sloppy filter stresses the FP-kill path —
+    // at the default 1% the join would see almost no junk to reject.
+    "decontaminate_bloom" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Corpus.decontaminateBloom(
+          docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 97 === 0), col("text"), n = 4,
+          fpp = 0.25)
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // Exact top-20 tokens with a Misra-Gries candidate pass: the shuffle
+    // carries candidates only, never the vocabulary; the driver verifies
+    // the rank-20 count clears the N/(capacity+1) bound before trusting
+    // the sketch (fail-fast, maxPairsPerBlock-style).
+    "heavy_hitters" -> ((s, d) =>
+      Profile.heavyHitters(T(s, d, "documents"), col("text"), topN = 20,
+        capacity = 4096)),
 
     // Deterministic train/val/test assignment: the fold is a pure function
     // of the doc digest, so no document can migrate between folds across
@@ -2499,6 +2529,67 @@ object SparkEntry {
         |SELECT doc_id, lang FROM d
         |WHERE doc_id % 97 <> 0
         |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    // Bloom prefiltering preserves exactness (false positives die in the
+    // exact semi-join), so the oracle is decontaminate's SQL verbatim.
+    "decontaminate_bloom" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS toks
+        |           FROM documents),
+        | g AS (SELECT doc_id, unnest(list_transform(
+        |     generate_series(1, len(toks) - 3),
+        |     i -> array_to_string(toks[i:i+3], ' '))) AS gram FROM d),
+        | ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        | bad AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
+        |         WHERE g.doc_id % 97 <> 0)
+        |SELECT doc_id, lang FROM d
+        |WHERE doc_id % 97 <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    // The MG sketch only nominates candidates; counts and ranking are
+    // exact, so plain SQL is the oracle.
+    "heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(trim(text), ' ')) AS token
+        |           FROM documents),
+        | c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token)
+        |SELECT token, cnt,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INT) AS rank
+        |FROM c ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin,
+
+    // Full SemDeDup replay: the asg CTE is similarity_ivf's assignment
+    // (stride centroids + argmax cosine, ties -> lowest centroid), pairs
+    // stay within a cluster, and round-4 cosine >= threshold marks the
+    // higher id — the engine rounds identically before comparing.
+    "semantic_dedup" ->
+      """WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |                  CAST(unnest(embedding) AS DOUBLE) AS v
+        |           FROM embeddings),
+        | cent AS (SELECT vec_id AS centroid_id, i, v FROM x
+        |          WHERE vec_id % (SELECT GREATEST(1, CAST(FLOOR(
+        |                   sqrt(count(*)) / 2.0) AS INT))
+        |                 FROM embeddings) = 0),
+        | asg0 AS (SELECT c.vec_id, ct.centroid_id,
+        |            sum(c.v * ct.v) AS dot, sum(c.v * c.v) AS nc,
+        |            sum(ct.v * ct.v) AS nt
+        |          FROM x c JOIN cent ct ON c.i = ct.i GROUP BY 1, 2),
+        | asg AS (SELECT vec_id, centroid_id FROM (
+        |    SELECT vec_id, centroid_id, row_number() OVER
+        |      (PARTITION BY vec_id
+        |       ORDER BY dot / (sqrt(nc) * sqrt(nt)) DESC, centroid_id ASC) AS rn
+        |    FROM asg0) WHERE rn = 1),
+        | p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |       FROM asg a JOIN asg b
+        |         ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+        | d AS (SELECT p.id_a, p.id_b,
+        |         sum(qa.v * qb.v) AS dot,
+        |         sum(qa.v * qa.v) AS na, sum(qb.v * qb.v) AS nb
+        |       FROM p JOIN x qa ON qa.vec_id = p.id_a
+        |              JOIN x qb ON qb.vec_id = p.id_b AND qb.i = qa.i
+        |       GROUP BY 1, 2),
+        | dup AS (SELECT DISTINCT id_b FROM d
+        |         WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.4)
+        |SELECT asg.vec_id, asg.centroid_id,
+        |  asg.vec_id IN (SELECT id_b FROM dup) AS is_dup
+        |FROM asg""".stripMargin,
 
     "corpus_split" ->
       """WITH u AS (SELECT doc_id, lang,

@@ -481,6 +481,15 @@ object GraftHash {
     inter.toDouble / union.toDouble
   }
 
+  /** Bloom membership probe — the codegen kernel behind BloomMightContain.
+    * `mightContainBinary(utf8.getBytes)` is exactly `mightContainString`
+    * on the equivalent java.lang.String (Spark's BloomFilterImpl hashes a
+    * string as its UTF-8 bytes), so probing the raw UTF8String avoids a
+    * per-row String materialization in the hot scan. */
+  def bloomMightContain(s: UTF8String,
+                        bloom: org.apache.spark.util.sketch.BloomFilter): Boolean =
+    bloom.mightContainBinary(s.getBytes)
+
   /** Count of array elements present in `set` (duplicates counted) — the
     * codegen kernel behind StopwordHits. */
   def countIn(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {

@@ -454,6 +454,30 @@ case class StopwordHits(child: Expression, words: Seq[String])
   override protected def withNewChildInternal(c: Expression): StopwordHits = copy(child = c)
 }
 
+/** Bloom-filter membership probe of a string column against a plan-time
+  * [[org.apache.spark.util.sketch.BloomFilter]] (Spark's own mergeable
+  * sketch, built distributedly by `df.stat.bloomFilter`). The filter rides
+  * into codegen as a reference object — same pattern as [[CentroidBank]] —
+  * so the probe fuses into the scan: a map-side prefilter with zero join,
+  * zero shuffle, and a false-POSITIVE-only error mode (never drops a true
+  * member), which is exactly what an exactness-preserving prefilter needs. */
+case class BloomMightContain(child: Expression,
+                             bloom: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.bloomMightContain(v.asInstanceOf[UTF8String], bloom)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftHash.bloomMightContain($c, $ref);")
+  }
+  override protected def withNewChildInternal(c: Expression): BloomMightContain =
+    copy(child = c)
+}
+
 /** 64-bit SimHash of a token array. */
 case class SimHash64(child: Expression)
     extends UnaryExpression {
@@ -562,6 +586,9 @@ object GraftFunctions {
   def hyperplaneSimhash(vec: Column, bits: Int, seed: Long = 42L): Column =
     toCol(HyperplaneSimHash(toExpr(vec), bits, seed))
   def tokenSetHash(tokens: Column): Column = toCol(TokenSetHash(toExpr(tokens)))
+  def bloomMightContain(c: Column,
+                        bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    toCol(BloomMightContain(toExpr(c), bloom))
 
   /** Bounded-state smallest-k collect: Spark's CollectTopK aggregate with
     * the ordering reversed, so each group keeps its `k` SMALLEST elements

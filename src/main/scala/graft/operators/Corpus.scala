@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{GraftFunctions, TextFunctions}
 
 /** Corpus-preparation operators for a large-scale training-data pipeline:
   * deterministic sampling, weighted corpus mixing with epoch upsampling,
@@ -420,6 +420,46 @@ object Corpus {
       .select(id.as("__dc_id"),
         explode(TextFunctions.wordNGrams(text, n)).as("__dc_g"))
       .join(broadcast(evalGrams), Seq("__dc_g"), "left_semi")
+      .select(col("__dc_id"))
+      .distinct()
+    train.join(contaminated, id === col("__dc_id"), "left_anti")
+  }
+
+  /** [[decontaminate]] with a Bloom prefilter — the 100-TB form. The exact
+    * variant broadcasts the DISTINCT eval n-grams as strings; past a few
+    * tens of millions of 13-gram strings that broadcast is gigabytes. Here
+    * the eval grams collapse to a Bloom filter (`df.stat.bloomFilter`,
+    * Spark's mergeable sketch — built with one treeAggregate, ~1.2 bytes/
+    * gram at 1% fpp), the TRAINING side's exploded grams probe it map-side
+    * via the codegen [[graft.functions.BloomMightContain]] (no join, no
+    * shuffle, fused into the scan), and only the survivors — true
+    * contaminations plus an fpp-sized sliver — reach the exact semi-join
+    * that kills the false positives. The result is EXACTLY
+    * [[decontaminate]]'s output at any fpp: Bloom errors are one-sided
+    * (false positives only), so the prefilter can admit junk but never
+    * drop a contaminated gram, and the exact join admits no junk.
+    *
+    * The final semi-join is deliberately NOT hinted broadcast: at scale
+    * the eval-gram frame is exactly the thing too big to broadcast, while
+    * the surviving training grams are tiny — AQE picks the broadcast side
+    * at runtime (and does broadcast the survivors at test SFs). */
+  def decontaminateBloom(train: DataFrame, id: Column, text: Column,
+                         eval: DataFrame, evalText: Column,
+                         n: Int = 13, fpp: Double = 0.01): DataFrame = {
+    require(n > 0, "need n > 0")
+    require(fpp > 0.0 && fpp < 1.0, "need 0 < fpp < 1")
+    val evalGrams = eval
+      .select(explode(TextFunctions.wordNGrams(evalText, n)).as("__dc_g"))
+      .distinct()
+    // expectedNumItems sizes the bit array; the exact count is one bounded
+    // scalar action (same pattern as Similarity.autoStride's corpus count)
+    val nGrams = math.max(1L, evalGrams.count())
+    val bloom = evalGrams.stat.bloomFilter("__dc_g", nGrams, fpp)
+    val contaminated = train
+      .select(id.as("__dc_id"),
+        explode(TextFunctions.wordNGrams(text, n)).as("__dc_g"))
+      .filter(GraftFunctions.bloomMightContain(col("__dc_g"), bloom))
+      .join(evalGrams, Seq("__dc_g"), "left_semi")
       .select(col("__dc_id"))
       .distinct()
     train.join(contaminated, id === col("__dc_id"), "left_anti")

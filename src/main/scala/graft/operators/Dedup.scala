@@ -696,6 +696,43 @@ object Dedup {
     * `maxPairsPerBlock` fails the call fast when a block's pair estimate
     * goes quadratic-hot (see [[tokenJaccardPairs]]); [[embeddingLshPairs]]
     * is the keyless path. `Long.MaxValue` disables. */
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * deduplication of an embedding corpus: cluster, then compare pairs
+    * ONLY within a cluster, and mark every vector that has a
+    * lower-id cluster-mate with cosine ≥ `threshold` as a duplicate (the
+    * lowest id of each near-dup group survives — the paper keeps one
+    * representative per intra-cluster similarity group).
+    *
+    * Clustering reuses the IVF machinery end to end: deterministic
+    * stride-seeded centroids sized by the √N law
+    * ([[Similarity.autoStride]]) and the map-only codegen bank assignment
+    * ([[Similarity.ivfIndexFrom]]) — no join, no shuffle, bit-reproducible
+    * in SQL (the similarity_ivf oracle's `asg` CTE), which is what makes
+    * the full output DuckDB-checkable. Within-cluster pairing delegates to
+    * [[embeddingNearDup]] with the cluster as the block: its
+    * `maxPairsPerBlock` guard fail-fasts if a cluster goes quadratic-hot.
+    * Expected cluster size under the √N law is ~2√N, so the pair work is
+    * ~N^1.5 ACROSS clusters but each cluster's join is local to its block
+    * key — the shape the paper runs at corpus scale (they cluster
+    * precisely so the N² pair space never materializes).
+    *
+    * Output: one row per vector — (vec_id, centroid_id, is_dup). */
+  def semanticDedup(vecs: DataFrame, id: Column, vec: Column,
+                    threshold: Double,
+                    maxPairsPerBlock: Long = 25000000L): DataFrame = {
+    val base = vecs.select(id.as("vec_id"), vec.as("embedding"))
+    val centroids = Similarity.strideCentroids(
+      base, Similarity.autoStride(base))
+    val assigned = Similarity.ivfIndexFrom(base, centroids)
+    val dups = embeddingNearDup(assigned, col("vec_id"), col("embedding"),
+        col("centroid_id"), threshold, maxPairsPerBlock)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    assigned.join(dups, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("centroid_id"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
   def embeddingNearDup(vecs: DataFrame, id: Column, vec: Column,
                        block: Column, threshold: Double,
                        maxPairsPerBlock: Long = 25000000L): DataFrame = {

@@ -184,4 +184,90 @@ object Profile {
           .otherwise(col("__rc")(3) / col("__rc")(4)), 4)
           .as("top_bigram_frac"))
   }
+
+  /** EXACT top-`topN` most frequent tokens — without ever shuffling the
+    * vocabulary. The naive plan (`explode → groupBy(token) → orderBy →
+    * limit`) partially aggregates the full vocabulary on the map side and
+    * shuffles one row per distinct token per partition — at 100 TB that is
+    * billions of partial states for an answer of 10 rows. Here:
+    *
+    *  1. Scan 1 (map-only, nothing leaves the executor but ≤ capacity
+    *     candidates + one count per partition): each partition folds its
+    *     tokens through a [[graft.functions.MisraGries]] summary. The MG
+    *     bound makes the union of per-partition candidates a PROVABLE
+    *     superset of every token with global count > N/(capacity+1).
+    *  2. Scan 2: exact counts for candidate tokens only — the stream is
+    *     semi-joined against the broadcast candidate set before the
+    *     aggregation, so the shuffle carries ≤ capacity × partitions rows.
+    *  3. The driver verifies the guarantee actually closed: the topN-th
+    *     exact count must exceed N/(capacity+1) (every non-candidate is
+    *     provably below that), else the call fails fast asking for more
+    *     capacity — the maxPairsPerBlock philosophy: never silently wrong.
+    *
+    * The candidate SET depends on partition layout (MG is order-sensitive)
+    * but the OUTPUT does not: any superset recounted exactly yields the
+    * same top-N (OrderFuzzSpec's layout fuzzing relies on exactly this).
+    * `mapPartitions` is the honest tool for the per-partition stream fold —
+    * the summary is imperative bounded state with no SQL equivalent. */
+  def heavyHitters(docs: DataFrame, text: Column, topN: Int,
+                   capacity: Int = 4096): DataFrame = {
+    require(topN > 0 && capacity >= topN, "need topN > 0 and capacity >= topN")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(explode(TextFunctions.tokens(text)).as("token"))
+    val summaries = toks.select(col("token")).as[String]
+      .mapPartitions { it =>
+        val mg = new graft.functions.MisraGries(capacity)
+        var np = 0L
+        it.foreach { t => mg.offer(t); np += 1L }
+        mg.items.iterator.map(t => (0, t, 0L)) ++ Iterator.single((1, "", np))
+      }.toDF("tag", "token", "np")
+    summaries.persist()
+    try {
+      val total = summaries.filter(col("tag") === 1)
+        .agg(coalesce(sum(col("np")), lit(0L))).head().getLong(0)
+      val candidates = summaries.filter(col("tag") === 0)
+        .select(col("token")).distinct()
+      val grouped = toks
+        .join(broadcast(candidates), Seq("token"), "left_semi")
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      grouped.persist()
+      try {
+        val exact = grouped
+          .orderBy(col("cnt").desc, col("token").asc)
+          .limit(topN)
+          .select(col("token"), col("cnt"),
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("cnt").desc, col("token").asc)).as("rank"))
+        val rows = exact.collect()
+        val bound = total / (capacity + 1L)
+        if (rows.length == topN) {
+          val kth = rows.map(_.getLong(1)).min
+          if (kth <= bound)
+            throw new graft.GraftException(
+              s"heavyHitters: rank-$topN count $kth does not clear the " +
+                s"Misra-Gries bound N/(capacity+1) = $bound, so a " +
+                s"non-candidate token could tie or beat it — raise " +
+                s"capacity (= $capacity) until the bound clears (flat " +
+                s"distributions have no heavy hitters to find)")
+        } else {
+          // fewer candidates than topN: only legitimate when the
+          // candidates ARE the complete vocabulary (their exact counts
+          // must account for every token in the stream) — otherwise some
+          // evicted token belongs in the unfilled ranks
+          val covered = grouped.agg(coalesce(sum(col("cnt")), lit(0L)))
+            .head().getLong(0)
+          if (covered != total)
+            throw new graft.GraftException(
+              s"heavyHitters: only ${rows.length} candidate tokens for " +
+                s"topN=$topN and they cover $covered of $total stream " +
+                s"tokens — the vocabulary is flat enough that the sketch " +
+                s"evicted real ranks; raise capacity (= $capacity)")
+        }
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), exact.schema)
+      } finally grouped.unpersist()
+    } finally summaries.unpersist()
+  }
 }

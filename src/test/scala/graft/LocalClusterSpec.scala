@@ -47,9 +47,13 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     val speculativeStarts = new java.util.concurrent.atomic.AtomicInteger(0)
     val injectedFailures = new java.util.concurrent.atomic.AtomicInteger(0)
     val lostExecutorTasks = new java.util.concurrent.atomic.AtomicInteger(0)
-    override def onTaskStart(ts: SparkListenerTaskStart): Unit =
+    val runningTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    override def onTaskStart(ts: SparkListenerTaskStart): Unit = {
+      runningTasks.incrementAndGet()
       if (ts.taskInfo.speculative) speculativeStarts.incrementAndGet()
+    }
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      runningTasks.decrementAndGet()
       val r = Option(te.reason).map(_.toString).getOrElse("")
       if (r.contains("injected fault")) injectedFailures.incrementAndGet()
       if (r.contains("ExecutorLostFailure") || r.contains("FetchFailed"))
@@ -228,12 +232,24 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ckpt = java.nio.file.Files
       .createTempDirectory("stream-loss-ckpt").toString
     val windows = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    // every task attempt holds its slot ~250 ms (once per attempt, not per
+    // row): with back-to-back batches the executors are busy most of the
+    // time, so the retried kill below lands on an IN-FLIGHT task — a kill
+    // between micro-batches surfaces as nothing at all to the listener
+    val holdTask = udf { (v: Long) =>
+      val tc = TaskContext.get()
+      if (tc != null && FaultInjection.slept.add(
+          s"sw-${tc.stageId()}-${tc.stageAttemptNumber()}-${tc.taskAttemptId()}"))
+        Thread.sleep(250)
+      v
+    }.asNondeterministic()
     val src = spark.readStream.format("rate-micro-batch")
       .option("rowsPerBatch", rowsPerBatch)
       .option("numPartitions", 4)
       .option("startTimestamp", 0L)
       .option("advanceMillisPerBatch", 1000)
       .load()
+      .withColumn("value", holdTask(col("value")))
     val agg = src.withWatermark("timestamp", "2 seconds")
       .groupBy(window(col("timestamp"), "1 second").as("w"))
       .agg(count(lit(1)).as("n"))
@@ -249,18 +265,40 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       .trigger(Trigger.ProcessingTime(0))
       .start()
+    // A fixed-delay kill raced the query under full-suite contention (the
+    // 20 batches could drain, or the kill could land between tasks, and the
+    // suite flaked on "proved nothing"). Instead: wait until the query is
+    // provably mid-flight, then RE-kill until the listener observes a task
+    // lost to an executor death — and hold the query open until it has.
+    def landed() = listener.lostExecutorTasks.get() > before
+    def batchId = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
     val killer = new Thread(() => {
-      Thread.sleep(2500)
-      killOwnExecutors()
+      while (q.isActive && batchId < 3) Thread.sleep(50)
+      var tries = 0
+      while (q.isActive && !landed() && tries < 30) {
+        // only pull the trigger while tasks are IN FLIGHT (the 250 ms
+        // holdTask makes that window wide): blind rapid-fire kills were
+        // observed SIGKILLing fresh executors before they registered —
+        // tasks then only ever ran between kills and nothing was lost
+        // mid-task; the 1 s gap lets the standalone master relaunch and
+        // re-register between attempts
+        if (listener.runningTasks.get() >= 2) {
+          killOwnExecutors()
+          tries += 1
+        }
+        Thread.sleep(1000)
+      }
     })
     killer.start()
     try {
-      while (Option(q.lastProgress).forall(_.batchId < batches) && q.isActive)
+      // run to the minimum batch count AND until the kill has landed, with
+      // a hard batch cap so a kill that never lands cannot hang the suite
+      while (q.isActive && (batchId < batches || !landed()) && batchId < 400)
         Thread.sleep(100)
     } finally q.stop()
     q.awaitTermination()
     killer.join()
-    assert(listener.lostExecutorTasks.get() > before,
+    assert(landed(),
       "the kill landed outside the query — the test proved nothing")
     import scala.jdk.CollectionConverters._
     val finalized = windows.asScala

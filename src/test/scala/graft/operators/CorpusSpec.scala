@@ -253,6 +253,40 @@ class CorpusSpec extends SparkSpecBase {
     assert(all == Set(1L, 2L, 3L, 4L, 5L, 6L))
   }
 
+  test("decontaminateBloom == decontaminate exactly, even at hostile fpp") {
+    // the Bloom is only a prefilter: false positives die in the exact
+    // semi-join, and false negatives don't exist — so the output must be
+    // IDENTICAL to the exact form at any fpp, including one so sloppy
+    // (0.49) that the join sees plenty of junk to reject
+    val exact = Corpus.decontaminate(
+        docs.filter(col("doc_id") % 7 =!= 0), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") % 7 === 0), col("text"), n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    for (fpp <- Seq(0.01, 0.49)) {
+      val bloomed = Corpus.decontaminateBloom(
+          docs.filter(col("doc_id") % 7 =!= 0), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 7 === 0), col("text"), n = 3,
+          fpp = fpp)
+        .select("doc_id").as[Long].collect().toSet
+      assert(bloomed == exact, s"fpp=$fpp diverged: " +
+        s"only-bloom=${bloomed.diff(exact)} only-exact=${exact.diff(bloomed)}")
+    }
+  }
+
+  test("decontaminateBloom probes map-side: the bloom filter precedes any join") {
+    val plan = Corpus.decontaminateBloom(docs, col("doc_id"), col("text"),
+        docs.filter(col("doc_id") < 10), col("text"), n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloommightcontain"),
+      s"expected the BloomMightContain prefilter in the plan:\n$plan")
+    // the prefilter must sit UNDER the semi-join (filter before join), so
+    // the join's streamed side is already bloom-thinned
+    val joinIdx = plan.indexOf("LeftSemi")
+    val bloomIdx = plan.indexOf("bloommightcontain")
+    assert(joinIdx >= 0 && bloomIdx > joinIdx,
+      s"bloom probe must be below the semi join in the plan tree:\n$plan")
+  }
+
   test("decontaminate broadcasts the eval grams (training text never shuffles)") {
     val plan = Corpus.decontaminate(docs, col("doc_id"), col("text"),
         docs.filter(col("doc_id") < 10), col("text"), n = 3)

@@ -143,6 +143,46 @@ class ProfileSpec extends SparkSpecBase {
       assert(!p.contains(bad), s"repetition signals grew a $bad:\n$p")
   }
 
+  test("heavyHitters equals the exact full groupBy top-N on skewed data") {
+    // Zipf-ish corpus: token i appears ~1000/i times; heavy head, long tail
+    val docs = (1 to 60).flatMap(i => Seq.fill(1000 / i)(s"w$i"))
+      .grouped(50).map(_.mkString(" ")).toSeq.toDF("text")
+    val got = Profile.heavyHitters(docs, col("text"), topN = 10,
+        capacity = 256)
+      .select("token", "cnt", "rank").as[(String, Long, Int)].collect().toSeq
+    val want = docs.select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .groupBy("t").count()
+      .orderBy(col("count").desc, col("t").asc).limit(10)
+      .collect().zipWithIndex
+      .map { case (r, i) => (r.getString(0), r.getLong(1), i + 1) }.toSeq
+    assert(got == want)
+  }
+
+  test("heavyHitters output is partition-layout invariant (MG set is not)") {
+    val docs = (1 to 40).flatMap(i => Seq.fill(500 / i)(s"w$i"))
+      .grouped(7).map(_.mkString(" ")).toSeq.toDF("text")
+    val a = Profile.heavyHitters(docs.repartition(1), col("text"), 5, 128)
+      .collect().map(_.toSeq).toSeq
+    val b = Profile.heavyHitters(
+        docs.repartition(16, col("text")), col("text"), 5, 128)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b, "exact recount must erase the sketch's order-sensitivity")
+  }
+
+  test("heavyHitters fails fast when the distribution has no heavy hitters") {
+    // near-uniform vocabulary, tiny capacity: the rank-N count cannot clear
+    // N/(capacity+1), so silence would risk a wrong answer — must throw
+    val docs = (1 to 3000).map(i => s"u$i").grouped(10)
+      .map(_.mkString(" ")).toSeq.toDF("text")
+    val e = intercept[graft.GraftException] {
+      Profile.heavyHitters(docs, col("text"), topN = 10, capacity = 16)
+    }
+    // either guard branch is a legitimate trip: the rank-N count failing
+    // the MG bound, or the candidate set coming back too thin to fill topN
+    assert(e.getMessage.contains("raise capacity"),
+      s"unexpected guard message: ${e.getMessage}")
+  }
+
   test("repetitionSignals known answers incl. single-word doc") {
     val docs = Seq(
       (1L, "a a b"),        // max word 2/3, distinct 2/3, bigrams: "a a","a b" -> 1/2
