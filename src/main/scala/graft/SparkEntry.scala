@@ -1275,6 +1275,14 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // Robust outlier profile (Hampel rule, median/MAD): both medians are
+    // DISCRETE (exact data values at quantile_disc ranks), so the
+    // threshold arithmetic is bit-identical across engines; histograms
+    // bound the shuffle by distinct values, never rows.
+    "outlier_mad" -> ((s, d) =>
+      Profile.robustOutliers(T(s, d, "events"), col("event_type"),
+        col("value"), k = 3.0)),
+
     // Exact top-20 tokens with a Misra-Gries candidate pass: the shuffle
     // carries candidates only, never the vocabulary; the driver verifies
     // the rank-20 count clears the N/(capacity+1) bound before trusting
@@ -2544,6 +2552,26 @@ object SparkEntry {
         |SELECT doc_id, lang FROM d
         |WHERE doc_id % 97 <> 0
         |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    // Discrete medians make the Hampel threshold engine-portable: every
+    // operand is an exact data value, so 3.0*1.4826*mad folds to the same
+    // double on both sides.
+    "outlier_mad" ->
+      """WITH med AS (SELECT event_type AS g, quantile_disc(value, 0.5) AS med
+        |             FROM events WHERE value IS NOT NULL GROUP BY 1),
+        | mad AS (SELECT event_type AS g,
+        |           quantile_disc(abs(value - m.med), 0.5) AS mad
+        |         FROM events e JOIN med m ON e.event_type = m.g
+        |         WHERE e.value IS NOT NULL GROUP BY 1)
+        |SELECT m.g, count(*) AS n, round(m.med, 4) AS median,
+        |  round(d.mad, 4) AS mad,
+        |  CAST(sum(CASE WHEN abs(e.value - m.med) > 3.0 * 1.4826 * d.mad
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events e
+        |JOIN med m ON e.event_type = m.g
+        |JOIN mad d ON e.event_type = d.g
+        |WHERE e.value IS NOT NULL
+        |GROUP BY 1, m.med, d.mad""".stripMargin,
 
     // The MG sketch only nominates candidates; counts and ranking are
     // exact, so plain SQL is the oracle.

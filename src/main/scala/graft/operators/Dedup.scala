@@ -721,9 +721,13 @@ object Dedup {
                     threshold: Double,
                     maxPairsPerBlock: Long = 25000000L): DataFrame = {
     val base = vecs.select(id.as("vec_id"), vec.as("embedding"))
-    val centroids = Similarity.strideCentroids(
-      base, Similarity.autoStride(base))
-    val assigned = Similarity.ivfIndexFrom(base, centroids)
+    // ivfIndexAuto: flat exact assignment below 2^17 vectors — what the
+    // full-SQL oracle replays, i.e. at every driver SF — and the ≈N^1.25
+    // hierarchical assignment above it. Clustering is a recall heuristic
+    // (SemDeDup compares only within a cluster either way); hier rerouting
+    // a boundary vector moves which pairs get COMPARED, never the
+    // correctness of a comparison.
+    val assigned = Similarity.ivfIndexAuto(base, Similarity.autoStride(base))
     val dups = embeddingNearDup(assigned, col("vec_id"), col("embedding"),
         col("centroid_id"), threshold, maxPairsPerBlock)
       .select(col("id_b").as("vec_id")).distinct()

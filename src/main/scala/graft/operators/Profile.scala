@@ -185,6 +185,58 @@ object Profile {
           .as("top_bigram_frac"))
   }
 
+  /** Discrete per-group median: the element at 0-based rank
+    * floor((n-1)/2) — `quantile_disc(x, 0.5)`'s convention, chosen over
+    * the interpolated median deliberately: the result is an EXACT data
+    * value, so no engine's a+(b-a)·f vs (a+b)/2 arithmetic can drift the
+    * downstream outlier threshold. Built from a VALUE HISTOGRAM: the
+    * shuffle and the per-group sort are bounded by |distinct (g, v)|, not
+    * by rows — a 10^11-row group with 10^5 distinct prices sorts 10^5
+    * histogram entries (exact `percentile`'s collect-everything state is
+    * the thing this avoids at 100 TB). */
+  private def discMedian(t: DataFrame, vCol: String): DataFrame = {
+    val h = t.groupBy(col("g"), col(vCol)).agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col(vCol))
+    val cum = h.withColumn("__cum", sum(col("__c")).over(w))
+    val tot = h.groupBy(col("g")).agg(sum(col("__c")).as("__n"))
+    val r = ((col("__n") - 1) / 2).cast("long")
+    cum.join(tot, "g")
+      .filter(col("__cum") - col("__c") <= r && r < col("__cum"))
+      .select(col("g"), col(vCol).cast("double").as("med"))
+  }
+
+  /** Robust per-group outlier profile — the Hampel rule: a value is an
+    * outlier when |x − median| > k · 1.4826 · MAD (1.4826 scales MAD to
+    * σ under normality). Mean/stddev-based z-scores are useless for
+    * profiling dirty data (the outliers inflate the very σ that is
+    * supposed to catch them); median/MAD have a 50% breakdown point.
+    *
+    * Three scans of the input, each ending in a bounded aggregation
+    * (value histogram → median, deviation histogram → MAD, final count);
+    * the tiny per-group (median, mad) frames broadcast back, so nothing
+    * row-sized ever shuffles. Both medians are [[discMedian]]-discrete —
+    * exact data values — so the threshold arithmetic is bit-identical
+    * across engines. */
+  def robustOutliers(df: DataFrame, group: Column, value: Column,
+                     k: Double = 3.0): DataFrame = {
+    require(k > 0, "need k > 0")
+    val base = df.filter(value.isNotNull)
+      .select(group.as("g"), value.cast("double").as("v"))
+    val med = discMedian(base, "v")
+    val withMed = base.join(broadcast(med), "g")
+    val dev = withMed.select(col("g"), abs(col("v") - col("med")).as("d"))
+    val mad = discMedian(dev, "d").withColumnRenamed("med", "mad")
+    withMed.join(broadcast(mad), "g")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("med")), 4).as("median"),
+        round(max(col("mad")), 4).as("mad"),
+        sum(when(abs(col("v") - col("med")) >
+            lit(k) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   /** EXACT top-`topN` most frequent tokens — without ever shuffling the
     * vocabulary. The naive plan (`explode → groupBy(token) → orderBy →
     * limit`) partially aggregates the full vocabulary on the map side and
@@ -234,13 +286,17 @@ object Profile {
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       grouped.persist()
       try {
-        val exact = grouped
+        // ranks are assigned on the driver over the already-sorted ≤ topN
+        // collected rows — a row_number window here would be the global
+        // single-partition sort the plan-hygiene guard (rightly) bans
+        val top = grouped
           .orderBy(col("cnt").desc, col("token").asc)
           .limit(topN)
-          .select(col("token"), col("cnt"),
-            row_number().over(org.apache.spark.sql.expressions.Window
-              .orderBy(col("cnt").desc, col("token").asc)).as("rank"))
-        val rows = exact.collect()
+          .select(col("token"), col("cnt"))
+          .collect()
+        val rows = top.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(r.getString(0), r.getLong(1), i + 1)
+        }
         val bound = total / (capacity + 1L)
         if (rows.length == topN) {
           val kth = rows.map(_.getLong(1)).min
@@ -265,8 +321,15 @@ object Profile {
                 s"tokens — the vocabulary is flat enough that the sketch " +
                 s"evicted real ranks; raise capacity (= $capacity)")
         }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("token",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("cnt",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.IntegerType, nullable = false)))
         spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), exact.schema)
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
       } finally grouped.unpersist()
     } finally summaries.unpersist()
   }

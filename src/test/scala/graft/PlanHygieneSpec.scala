@@ -87,7 +87,13 @@ class PlanHygieneSpec extends SparkSpecBase {
       // connectedComponents checkpoints labels every round BY DESIGN: the
       // jump step's self-join would double the plan every round without
       // the truncation (see Dedup.scala scaladoc)
-      "dedup_cluster"
+      "dedup_cluster",
+      // heavyHitters: the Misra-Gries per-partition stream fold IS the
+      // operator (typed mapPartitions), and the returned frame is the
+      // validated ≤ topN-row driver constant — the vocabulary-scale work
+      // (candidate pass + exact recount) ran in Tungsten during
+      // construction; the ExistingRDD scan carries 20 rows
+      "heavy_hitters"
     )
     SparkEntry.queries.keys.filterNot(typedOps).foreach { q =>
       val p = plan(q)

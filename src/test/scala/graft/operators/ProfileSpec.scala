@@ -143,6 +143,41 @@ class ProfileSpec extends SparkSpecBase {
       assert(!p.contains(bad), s"repetition signals grew a $bad:\n$p")
   }
 
+  test("robustOutliers: hand-computed median/MAD/outlier counts") {
+    // group g1: values 1..9 plus a wild 1000
+    //   n=10, disc-median rank floor(9/2)=4 -> 5.0
+    //   deviations |x-5|: 4,3,2,1,0,1,2,3,4,995 sorted 0,1,1,2,2,3,3,4,4,995
+    //   disc-MAD rank 4 -> 2.0; threshold 3*1.4826*2 = 8.8956
+    //   only |1000-5|=995 exceeds -> 1 outlier
+    // group g2: constant 7 -> median 7, MAD 0, threshold 0, no outliers
+    val rows = (1 to 9).map(v => ("g1", v.toDouble)) ++
+      Seq(("g1", 1000.0)) ++ Seq.fill(4)(("g2", 7.0))
+    val df = rows.toDF("k", "x")
+    val out = Profile.robustOutliers(df, col("k"), col("x"), k = 3.0)
+      .orderBy("g").select("g", "n", "median", "mad", "n_outliers")
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    assert(out == Seq(("g1", 10L, 5.0, 2.0, 1L), ("g2", 4L, 7.0, 0.0, 0L)))
+  }
+
+  test("robustOutliers: nulls excluded, even-count discrete rank") {
+    // n=4 after null drop: disc rank floor(3/2)=1 -> second-smallest
+    val df = Seq(("a", Some(10.0)), ("a", Some(20.0)), ("a", Some(30.0)),
+      ("a", Some(40.0)), ("a", None)).toDF("k", "x")
+    val out = Profile.robustOutliers(df, col("k"), col("x"))
+      .select("n", "median").as[(Long, Double)].collect().head
+    assert(out == ((4L, 20.0)))
+  }
+
+  test("robustOutliers plan: histogram aggregations, value never row-shuffled") {
+    // the input reaches its aggregations through histogram groupBys; the
+    // final join sides are broadcast (tiny per-group stat frames)
+    val df = Seq(("a", 1.0), ("b", 2.0)).toDF("k", "x")
+    val plan = Profile.robustOutliers(df, col("k"), col("x"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-group stats must broadcast back:\n$plan")
+  }
+
   test("heavyHitters equals the exact full groupBy top-N on skewed data") {
     // Zipf-ish corpus: token i appears ~1000/i times; heavy head, long tail
     val docs = (1 to 60).flatMap(i => Seq.fill(1000 / i)(s"w$i"))
