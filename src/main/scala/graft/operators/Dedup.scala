@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextFunctions}
@@ -140,22 +141,39 @@ object Dedup {
     * collect + pair expansion.
     *
     * The cap bounds the quadratic pair blowup of an adversarial hot bucket
-    * (≤ cap²/2 pairs) AND the aggregation state: capping is a bounded
-    * smallest-cap-ids aggregate ([[GraftFunctions.collectSmallest]], a
-    * size-cap priority queue with map-side partial aggregation), NOT a
-    * row_number window — the window form shuffled every raw banded row
-    * and externally sorted each bucket (the r8 sf100 sweep measured that
-    * sort spilling ~137 GB memory-equivalent on the embedding variant).
-    * The whole thing costs one shuffle of ≤cap-element partial states.
-    * Keeping the *smallest* ids is deterministic under retries and
-    * arrival order. */
+    * (≤ cap²/2 pairs) AND the aggregation state (collect_list only ever
+    * sees ≤ cap rows per bucket).
+    *
+    * CAP-FORM CHOICE (r9, measured): this site caps via the row_number
+    * WINDOW, not the bounded [[GraftFunctions.collectSmallest]] aggregate.
+    * MinHash buckets live in a 2^64 hash space — occupancy ≪ 1, so the
+    * group count ≈ the banded row count. In that regime the window wins:
+    * its sort is Tungsten radix over 20-byte rows and the following
+    * groupBy rides the SAME sort (sorted-run aggregation, already
+    * partitioned), while the object aggregate allocates per-group PQ
+    * state for millions of one-row groups and falls back to
+    * object-SERIALIZED external sort past 128 keys/task. Context-matched
+    * sf100 measurements: dedup_simhash 55.0 s (aggregate) → 28.6 s
+    * (window) at identical sweep positions; dedup_minhash solo returns to
+    * its r8 window-form cost (38 s) with BIT-identical shuffle/spill
+    * metrics. (Sweep-position numbers for these queries swing up to ×4
+    * with the PREDECESSOR query's spill pressure in a shared bench JVM —
+    * see Bench's scaladoc — so only matched-context or solo comparisons
+    * are admissible.) The bounded aggregate remains the right form where
+    * buckets are genuinely OCCUPIED — the corpus-sized-band hyperplane
+    * LSH site keeps it (its in-bucket window sort was the 137 GB
+    * memory-equivalent spill the r8 verdict named; the aggregate form
+    * measured 178.8 s vs the window's 231.2 s at sf100 solo). */
   private[graft] def bucketPairs(banded: DataFrame, idCol: String,
                                  bucketCap: Int): DataFrame = {
     require(bucketCap > 1, "bucketCap must allow at least one pair")
+    val wB = Window.partitionBy(col("band"), col("bucket"))
+      .orderBy(col(idCol).asc)
     banded
+      .withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= bucketCap)
       .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(GraftFunctions.collectSmallest(col(idCol), bucketCap))
-        .as("ids"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
@@ -197,8 +215,9 @@ object Dedup {
     * Same shuffle economics as [[minhashLsh]]: the grouped pair expansion
     * evaluates the signature subtree once (no self-join), carries only
     * (doc_id, sim) = 16 bytes/row through the bucket shuffle, and the
-    * bounded smallest-cap aggregate (collectSmallest — no in-bucket sort)
-    * bounds hot-bucket state and pair blowup.
+    * per-bucket capping window (spillable radix sort over tiny bucket
+    * partitions — the measured-right form for hashed band spaces, see
+    * [[bucketPairs]]) bounds hot-bucket state and pair blowup.
     */
   def simhashPairsFromSig(sig: DataFrame, sigBits: Int, bands: Int,
                           maxHamming: Int,
@@ -213,10 +232,17 @@ object Dedup {
       shiftright(col("sim"), b * bitsPerBand).bitwiseAND(lit(mask))): _*)
     val banded = sig.select(col("doc_id"), col("sim"),
       posexplode(bandCols).as(Seq("band", "bucket")))
+    // window cap, not collectSmallest: hashed band spaces put ~1 row in
+    // ~every bucket — the tiny-group regime where the object aggregate
+    // measured ×2-×7 slower (see bucketPairs scaladoc)
+    val wB = Window.partitionBy(col("band"), col("bucket"))
+      .orderBy(col("doc_id").asc)
     banded
+      .withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= bucketCap)
       .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(GraftFunctions.collectSmallest(
-        struct(col("doc_id"), col("sim")), bucketCap)).as("ms"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sim"))))
+        .as("ms"))
       .filter(size(col("ms")) > 1)
       .select(explode(expr(
         """flatten(transform(ms, (x, i) ->
@@ -279,11 +305,17 @@ object Dedup {
       shiftright(col("sim_b"), 30).bitwiseAND(lit(mask)))
     val banded = sig.select(col("doc_id"), col("sim_a"), col("sim_b"),
       posexplode(bandCols).as(Seq("band", "bucket")))
+    // window cap: 2^30 buckets per band, occupancy ≪ 1 into 10^8-10^9
+    // docs — the tiny-group regime (see bucketPairs scaladoc; the r9
+    // sf100 sweep measured the object-aggregate form ×2 here)
+    val wB = Window.partitionBy(col("band"), col("bucket"))
+      .orderBy(col("doc_id").asc)
     banded
+      .withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= bucketCap)
       .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(GraftFunctions.collectSmallest(
-        struct(col("doc_id"), col("sim_a"), col("sim_b")), bucketCap))
-        .as("ms"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sim_a"),
+        col("sim_b")))).as("ms"))
       .filter(size(col("ms")) > 1)
       .select(explode(expr(
         """flatten(transform(ms, (x, i) ->

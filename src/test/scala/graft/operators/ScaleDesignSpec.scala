@@ -355,16 +355,35 @@ class DedupScaleSpec extends SparkSpecBase {
       s"expected capped pair count, got ${pairs.length}")
     assert(pairs.forall { case (a, b) => a < cap && b < cap && a < b },
       "cap must keep the smallest ids and emit ordered pairs")
-    // the cap is a BOUNDED smallest-k aggregate with map-side partials —
-    // NOT a row_number window, whose in-bucket external sort was the r8
-    // sf100 spill finding (~137 GB memory-equivalent on the embedding
-    // variant). Pin both the mechanism and the absence of the old one.
+    // cap-form pin (r9, measured): MinHash buckets live in a 2^64 space —
+    // occupancy ≪ 1, group count ≈ row count — and there the row_number
+    // WINDOW is the fast form (Tungsten radix sort + sorted-run groupBy);
+    // the bounded collectSmallest aggregate allocates per-group PQ state
+    // for millions of one-row groups and object-sorts past 128 keys/task
+    // (×7 on dedup_minhash at sf100). The bounded aggregate belongs to
+    // the OCCUPIED-bucket regime — the hyperplane-LSH site, pinned below.
     val plan = Dedup.bucketPairs(banded, "doc_id", cap)
       .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"),
+      s"hashed-band capping must ride the window sort:\n$plan")
+    assert(!plan.contains("partial_collect_top_k"),
+      s"tiny-group capping regressed to the object aggregate:\n$plan")
+  }
+
+  test("embedding-LSH capping keeps the bounded aggregate (occupied buckets)") {
+    // the hyperplane site's band space is corpus-sized (autoBandBits), so
+    // buckets are genuinely occupied — the regime where the in-bucket
+    // window sort spilled ~137 GB memory-equivalent at the r8 sf100 sweep
+    // and the bounded smallest-cap aggregate is the right form
+    val vecs = (0L until 64L).map(i =>
+      (i, Array.tabulate(8)(j => (i * 31 + j).toFloat % 7 - 3)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val plan = Dedup.embeddingLshPairs(vecs, col("vec_id"), col("embedding"),
+        threshold = 0.5)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("partial_collect_top_k"),
-      s"map-side bounded capping aggregate missing:\n$plan")
-    assert(!plan.contains("Window"),
-      s"capping regressed to a window sort:\n$plan")
+      s"occupied-bucket capping must stay a bounded aggregate:\n$plan")
   }
 }
 
