@@ -1275,6 +1275,16 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // Substring-level duplication profile (Lee et al. 2022's exact-span
+    // pass, distributed): stride-aligned 40-char windows, a span is
+    // duplicated when its EXACT text occurs in >= 2 docs. The corpus-wide
+    // shuffle is (hash, doc_id) pairs only; span text re-surfaces solely
+    // for the Bloom-gated candidate sliver, re-verified by exact equality
+    // (a 64-bit collision can nominate, never confirm).
+    "dedup_spans" -> ((s, d) =>
+      Dedup.repeatedSpans(T(s, d, "documents"), col("doc_id"), col("text"),
+        spanChars = 40, stride = 40, minDocs = 2)),
+
     // Robust outlier profile (Hampel rule, median/MAD): both medians are
     // DISCRETE (exact data values at quantile_disc ranks), so the
     // threshold arithmetic is bit-identical across engines; histograms
@@ -2552,6 +2562,27 @@ object SparkEntry {
         |SELECT doc_id, lang FROM d
         |WHERE doc_id % 97 <> 0
         |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    // Span offsets are stride-aligned on both engines (Spark sequence and
+    // DuckDB generate_series are both end-inclusive with identical step
+    // arithmetic), and both substr() implementations are 1-based and
+    // clamp at the string end, so the window frames are identical rows.
+    "dedup_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    substr(text, CAST(unnest(generate_series(
+        |        0, CAST(greatest(length(text) - 40, 0) AS BIGINT), 40))
+        |      AS INT) + 1, 40) AS span
+        |  FROM documents WHERE text IS NOT NULL
+        |),
+        | dup AS (
+        |  SELECT span FROM (SELECT DISTINCT span, doc_id FROM w)
+        |  GROUP BY span HAVING count(*) >= 2
+        |)
+        |SELECT doc_id, count(*) AS total_spans,
+        |  CAST(count(*) FILTER (WHERE span IN (SELECT span FROM dup))
+        |    AS BIGINT) AS dup_spans
+        |FROM w GROUP BY doc_id""".stripMargin,
 
     // Discrete medians make the Hampel threshold engine-portable: every
     // operand is an exact data value, so 3.0*1.4826*mad folds to the same

@@ -478,6 +478,29 @@ case class BloomMightContain(child: Expression,
     copy(child = c)
 }
 
+/** Long-typed sibling of [[BloomMightContain]]: probes a 64-bit hash
+  * column against a filter built by `df.stat.bloomFilter` on a LongType
+  * column (Spark's BloomFilterImpl `putLong`/`mightContainLong` path).
+  * Same reference-object codegen, same one-sided error mode — used to
+  * gate corpus-sized window frames on a candidate-hash set without
+  * shuffling their text payloads (Dedup.repeatedSpans). */
+case class BloomMightContainLong(child: Expression,
+                                 bloom: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    bloom.mightContainLong(v.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.mightContainLong($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): BloomMightContainLong =
+    copy(child = c)
+}
+
 /** 64-bit SimHash of a token array. */
 case class SimHash64(child: Expression)
     extends UnaryExpression {
@@ -589,6 +612,10 @@ object GraftFunctions {
   def bloomMightContain(c: Column,
                         bloom: org.apache.spark.util.sketch.BloomFilter): Column =
     toCol(BloomMightContain(toExpr(c), bloom))
+
+  def bloomMightContainLong(c: Column,
+                            bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    toCol(BloomMightContainLong(toExpr(c), bloom))
 
   /** Bounded-state smallest-k collect: Spark's CollectTopK aggregate with
     * the ordering reversed, so each group keeps its `k` SMALLEST elements

@@ -769,6 +769,81 @@ object Dedup {
         coalesce(col("is_dup"), lit(false)).as("is_dup"))
   }
 
+  /** Exact repeated-span profile: the substring-level duplication pass of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al. 2022), re-expressed as linear hash aggregations instead of a
+    * corpus-wide suffix array (a monolithic index that does not
+    * distribute). Every `stride`-aligned window of `spanChars` characters
+    * is a span; a span is DUPLICATED when its exact text occurs in
+    * >= `minDocs` distinct documents. Output is one row per document:
+    * (doc_id, total_spans, dup_spans).
+    *
+    * Scale shape (the reason this is not a groupBy over span text):
+    *  - the corpus-sized shuffle carries (xxhash64, doc_id) pairs — 16 B
+    *    per window, map-side combinable — never the span text;
+    *  - candidate hashes (>= minDocs docs) collapse to a long-keyed Bloom
+    *    sketch probed MAP-SIDE by the codegen [[graft.functions.BloomMightContainLong]]
+    *    fused into the recomputed window scan (decontaminateBloom's
+    *    pattern), so only the duplicate sliver re-materializes text;
+    *  - the surviving sliver is re-verified by EXACT span equality (a
+    *    64-bit collision can nominate a candidate, never confirm one) and
+    *    the final semi-join is unhinted — AQE broadcasts whichever side
+    *    is small at runtime;
+    *  - per-doc totals are pure arithmetic on `length(text)` (zero
+    *    shuffle): sequence(0, max(len-span,0), stride) has
+    *    floor(max(len-span,0)/stride)+1 elements by construction.
+    *
+    * Exactness caveat: spans are counted at stride-aligned offsets (the
+    * distributable discretization); a duplicated substring straddling two
+    * windows is surfaced only if at least one aligned window repeats
+    * verbatim — `stride` < `spanChars` tightens recall at linear cost. */
+  def repeatedSpans(docs: DataFrame, id: Column, text: Column,
+                    spanChars: Int = 40, stride: Int = 40,
+                    minDocs: Int = 2, fpp: Double = 0.01): DataFrame = {
+    require(spanChars > 0, "need spanChars > 0")
+    require(stride > 0, "need stride > 0")
+    require(minDocs >= 2, "need minDocs >= 2")
+    require(fpp > 0.0 && fpp < 1.0, "need 0 < fpp < 1")
+    val base = docs.filter(text.isNotNull)
+      .select(id.as("doc_id"), text.as("__rs_text"))
+    val spanEnd =
+      greatest(length(col("__rs_text")).cast("long") - spanChars, lit(0L))
+    def windows = base.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(0L), spanEnd, lit(stride.toLong)),
+        o => col("__rs_text").substr(o.cast("int") + lit(1), lit(spanChars))))
+        .as("span"))
+    val candHash = windows
+      .select(col("doc_id"), xxhash64(col("span")).as("h"))
+      .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("__n"))
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("h"))
+    // one bounded scalar action sizes the sketch (autoStride's pattern);
+    // a duplicate-free corpus short-circuits — stat.bloomFilter over zero
+    // rows merges to a null-buffer sketch, and there is nothing to probe
+    val nCand = candHash.count()
+    val totals = base.select(col("doc_id"),
+      (floor(spanEnd / stride).cast("long") + 1).as("total_spans"))
+    if (nCand == 0L)
+      return totals.withColumn("dup_spans", lit(0L))
+    val bloom = candHash.stat.bloomFilter("h", nCand, fpp)
+    val survivors = windows
+      .withColumn("h", xxhash64(col("span")))
+      .filter(GraftFunctions.bloomMightContainLong(col("h"), bloom))
+      .join(candHash, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("span"))
+    val dupSpans = survivors.distinct()
+      .groupBy(col("span")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("span"))
+    val perDocDup = survivors.join(dupSpans, Seq("span"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_spans"))
+    totals.join(perDocDup, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("total_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"))
+  }
+
   def embeddingNearDup(vecs: DataFrame, id: Column, vec: Column,
                        block: Column, threshold: Double,
                        maxPairsPerBlock: Long = 25000000L): DataFrame = {

@@ -47,7 +47,7 @@ class OrderFuzzSpec extends SparkSpecBase {
   }
 
   test("the fuzz harness is falsifiable: layout really differs") {
-    // same content (the 108 passes below would be vacuous otherwise is
+    // same content (the per-query passes below would be vacuous otherwise is
     // ruled out by each test's equality itself), but a DIFFERENT physical
     // order and file count — an order-dependent query (limit(1), first()
     // without sort, collect_list leaking into output) cannot pass both
