@@ -148,19 +148,34 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- relational core (SURVEY §2.9) --------------------------------
+    // Money sums accumulate as DECIMAL, not double: the source columns are
+    // exact 2-dp decimals, so the decimal sum is exact and ORDER-INDEPENDENT
+    // — at decade 3 (6×10^8 addends) IEEE double summation drifts with
+    // partial-sum order (1e-15..1e-13 relative, enough to move a rounded
+    // digit), and neither Spark's partition order nor DuckDB's is stable.
+    // Each factor is cast to its exact scale (prices 2 dp ≤ 1e6, rates 2 dp
+    // ≤ 1), products carry scale 4/6 exactly, and the final cast back to
+    // double keeps the published schema. Averages divide the exact decimal
+    // sum by the count in one deterministic double op.
     "q1_agg" -> ((s, d) => {
+      val qty = col("l_quantity").cast("decimal(18,2)")
+      val px = col("l_extendedprice").cast("decimal(18,2)")
+      val oneMinusD =
+        (lit(1) - col("l_discount").cast("decimal(4,2)")).cast("decimal(4,2)")
+      val onePlusT =
+        (lit(1) + col("l_tax").cast("decimal(4,2)")).cast("decimal(4,2)")
       T(s, d, "lineitem")
         .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
-            * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          round(sum(qty), 2).cast("double").as("sum_qty"),
+          round(sum(px), 2).cast("double").as("sum_base_price"),
+          round(sum(px * oneMinusD), 2).cast("double").as("sum_disc_price"),
+          round(sum(px * oneMinusD * onePlusT), 2).cast("double")
+            .as("sum_charge"),
+          round(sum(qty).cast("double") / count(lit(1)), 4).as("avg_qty"),
+          round(sum(col("l_discount").cast("decimal(4,2)")).cast("double")
+            / count(lit(1)), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -279,20 +294,26 @@ object SparkEntry {
           col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_cust"),
-          round(sum(col("c_acctbal")), 2).as("sum_bal"))
+          // decimal-exact sum (order-independent at decade 3) — see q1_agg
+          round(sum(col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double").as("sum_bal"))
     }),
 
     "agg_cube" -> ((s, d) => {
       T(s, d, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("cnt"),
-          round(sum(col("o_totalprice")), 2).as("sum_price"))
+          // decimal-exact sum (order-independent at decade 3) — see q1_agg
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("sum_price"))
     }),
 
     "agg_grouping_sets" -> ((s, d) => {
       T(s, d, "orders").createOrReplaceTempView("orders_gs")
-      s.sql("""SELECT o_orderstatus, o_orderpriority,
-              |  count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
+      // decimal-exact sum (order-independent at decade 3) — see q1_agg
+      s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+              |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+              |    AS DOUBLE) AS sum_price
               |FROM orders_gs
               |GROUP BY GROUPING SETS ((o_orderstatus),
               |  (o_orderstatus, o_orderpriority), ())""".stripMargin)
@@ -1589,11 +1610,12 @@ object SparkEntry {
     // FILTER-clause conditional aggregation (one pass, no self-joins).
     "agg_filter" -> ((s, d) => {
       Tables.registerAll(s, d)
+      // decimal-exact sum (order-independent at decade 3) — see q1_agg
       s.sql("""SELECT l_returnflag,
               | count(*) FILTER (WHERE l_quantity > 25) AS n_big,
               | count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
-              | round(sum(l_extendedprice) FILTER (WHERE l_tax = 0), 2)
-              |   AS notax_px
+              | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+              |   FILTER (WHERE l_tax = 0), 2) AS DOUBLE) AS notax_px
               |FROM lineitem GROUP BY l_returnflag""".stripMargin)
     }),
 
@@ -1729,12 +1751,21 @@ object SparkEntry {
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity), 2) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_base_price,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        | round(avg(l_quantity), 4) AS avg_qty,
-        | round(avg(l_discount), 6) AS avg_disc,
+        | CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+        |   AS DOUBLE) AS sum_base_price,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))), 2)
+        |   AS DOUBLE) AS sum_disc_price,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+        |   * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))), 2)
+        |   AS DOUBLE) AS sum_charge,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   / count(*), 4) AS avg_qty,
+        | round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+        |   / count(*), 6) AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -1814,7 +1845,8 @@ object SparkEntry {
 
     "agg_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
-        | round(sum(c_acctbal), 2) AS sum_bal
+        | CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |   AS sum_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -1822,7 +1854,8 @@ object SparkEntry {
 
     "agg_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-        | round(sum(o_totalprice), 2) AS sum_price
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |   AS sum_price
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus),
         |  (o_orderstatus, o_orderpriority), ())""".stripMargin,
@@ -1839,7 +1872,8 @@ object SparkEntry {
 
     "agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-        | round(sum(o_totalprice), 2) AS sum_price
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |   AS sum_price
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
 
@@ -3138,8 +3172,8 @@ object SparkEntry {
       """SELECT l_returnflag,
         | count(*) FILTER (WHERE l_quantity > 25) AS n_big,
         | count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
-        | round(sum(l_extendedprice) FILTER (WHERE l_tax = 0), 2)
-        |   AS notax_px
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |   FILTER (WHERE l_tax = 0), 2) AS DOUBLE) AS notax_px
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "sql_recursive" ->

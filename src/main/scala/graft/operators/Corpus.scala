@@ -448,21 +448,41 @@ object Corpus {
                          n: Int = 13, fpp: Double = 0.01): DataFrame = {
     require(n > 0, "need n > 0")
     require(fpp > 0.0 && fpp < 1.0, "need 0 < fpp < 1")
+    // Persisted: the distinct-gram frame is read twice INSIDE this call
+    // (count action, bloom build) — without the persist that is two full
+    // eval scans each paying the explode + distinct shuffle. The third use
+    // (the exact semi-join) executes lazily with the caller's action, after
+    // the finally has dropped the cache, so it recomputes the eval pipeline
+    // once — the price of returning a transparent, lineage-complete plan
+    // (an eager localCheckpoint of the contaminated ids would save that scan
+    // but loses executor-loss resilience and hides the probe-before-join
+    // shape from the optimizer and from plan audits). Eval is orders of
+    // magnitude smaller than training, so one extra eval scan is noise next
+    // to the training-side anti-join it feeds.
     val evalGrams = eval
       .select(explode(TextFunctions.wordNGrams(evalText, n)).as("__dc_g"))
       .distinct()
-    // expectedNumItems sizes the bit array; the exact count is one bounded
-    // scalar action (same pattern as Similarity.autoStride's corpus count)
-    val nGrams = math.max(1L, evalGrams.count())
-    val bloom = evalGrams.stat.bloomFilter("__dc_g", nGrams, fpp)
-    val contaminated = train
-      .select(id.as("__dc_id"),
-        explode(TextFunctions.wordNGrams(text, n)).as("__dc_g"))
-      .filter(GraftFunctions.bloomMightContain(col("__dc_g"), bloom))
-      .join(evalGrams, Seq("__dc_g"), "left_semi")
-      .select(col("__dc_id"))
-      .distinct()
-    train.join(contaminated, id === col("__dc_id"), "left_anti")
+      .persist()
+    try {
+      // expectedNumItems sizes the bit array; the exact count is one bounded
+      // scalar action (same pattern as Similarity.autoStride's corpus count).
+      val nGrams = evalGrams.count()
+      // Zero eval grams (empty eval frame, or every eval doc shorter than n
+      // tokens) ⇒ nothing can be contaminated. Short-circuit: it keeps the
+      // "identical output to decontaminate at any fpp" contract (the exact
+      // form returns train unchanged here), and bloom_filter_agg over an
+      // empty input yields a null buffer that BloomFilter.readFrom rejects.
+      if (nGrams == 0L) return train
+      val bloom = evalGrams.stat.bloomFilter("__dc_g", nGrams, fpp)
+      val contaminated = train
+        .select(id.as("__dc_id"),
+          explode(TextFunctions.wordNGrams(text, n)).as("__dc_g"))
+        .filter(GraftFunctions.bloomMightContain(col("__dc_g"), bloom))
+        .join(evalGrams, Seq("__dc_g"), "left_semi")
+        .select(col("__dc_id"))
+        .distinct()
+      train.join(contaminated, id === col("__dc_id"), "left_anti")
+    } finally evalGrams.unpersist()
   }
 
   /** Split each document's token stream into fixed-size windows: one row

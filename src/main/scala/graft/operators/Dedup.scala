@@ -163,7 +163,18 @@ object Dedup {
     * buckets are genuinely OCCUPIED — the corpus-sized-band hyperplane
     * LSH site keeps it (its in-bucket window sort was the 137 GB
     * memory-equivalent spill the r8 verdict named; the aggregate form
-    * measured 178.8 s vs the window's 231.2 s at sf100 solo). */
+    * measured 178.8 s vs the window's 231.2 s at sf100 solo).
+    *
+    * SKEW CAVEAT: the occupancy ≪ 1 argument assumes near-distinct
+    * signatures. A duplicate-heavy corpus — the adversarial input dedup
+    * targets — collapses mass exact-duplicates into ONE identical-signature
+    * bucket per band, and the window must sort that entire hot bucket
+    * before `rn <= cap` discards it: spillable external sort, not
+    * unbounded memory, but it is exactly the state mode the cap was built
+    * to avoid. Callers should run EXACT dedup first (the standard pipeline
+    * order — exact dedup is cheaper and removes the identical-signature
+    * mass), after which the near-distinct assumption holds by
+    * construction. */
   private[graft] def bucketPairs(banded: DataFrame, idCol: String,
                                  bucketCap: Int): DataFrame = {
     require(bucketCap > 1, "bucketCap must allow at least one pair")

@@ -260,10 +260,42 @@ object Profile {
     * but the OUTPUT does not: any superset recounted exactly yields the
     * same top-N (OrderFuzzSpec's layout fuzzing relies on exactly this).
     * `mapPartitions` is the honest tool for the per-partition stream fold —
-    * the summary is imperative bounded state with no SQL equivalent. */
+    * the summary is imperative bounded state with no SQL equivalent.
+    *
+    * SELF-SIZING: when the bound fails to clear, the operator doubles
+    * `capacity` and retries the two-scan pass itself (the autoStride
+    * philosophy — the engine sizes its own sketches) up to `maxCapacity`.
+    * Doubling makes the total work a geometric series ≤ 2× the final
+    * successful attempt, so a caller's too-small guess costs a constant
+    * factor, not a wrong answer. A distribution the CEILING can't prove
+    * (truly flat vocabulary larger than maxCapacity) still refuses — the
+    * guard is the contract; the ceiling is what keeps per-partition sketch
+    * state bounded on a 1000-executor cluster (maxCapacity string entries
+    * per task). */
   def heavyHitters(docs: DataFrame, text: Column, topN: Int,
-                   capacity: Int = 4096): DataFrame = {
+                   capacity: Int = 4096,
+                   maxCapacity: Int = 1 << 20): DataFrame = {
     require(topN > 0 && capacity >= topN, "need topN > 0 and capacity >= topN")
+    require(maxCapacity >= capacity, "need maxCapacity >= capacity")
+    var cap = capacity
+    while (true) {
+      heavyHittersOnce(docs, text, topN, cap) match {
+        case Right(df) => return df
+        case Left(msg) =>
+          if (cap < maxCapacity) cap = math.min(cap.toLong * 2L,
+            maxCapacity.toLong).toInt
+          else throw new graft.GraftException(
+            s"$msg [self-sizing exhausted: capacity doubled " +
+              s"$capacity → $cap hit maxCapacity=$maxCapacity]")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** One bounded two-scan attempt at `capacity`; Left(reason) when the MG
+    * bound cannot prove the answer at this capacity. */
+  private def heavyHittersOnce(docs: DataFrame, text: Column, topN: Int,
+                               capacity: Int): Either[String, DataFrame] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = docs
@@ -301,7 +333,7 @@ object Profile {
         if (rows.length == topN) {
           val kth = rows.map(_.getLong(1)).min
           if (kth <= bound)
-            throw new graft.GraftException(
+            return Left(
               s"heavyHitters: rank-$topN count $kth does not clear the " +
                 s"Misra-Gries bound N/(capacity+1) = $bound, so a " +
                 s"non-candidate token could tie or beat it — raise " +
@@ -315,7 +347,7 @@ object Profile {
           val covered = grouped.agg(coalesce(sum(col("cnt")), lit(0L)))
             .head().getLong(0)
           if (covered != total)
-            throw new graft.GraftException(
+            return Left(
               s"heavyHitters: only ${rows.length} candidate tokens for " +
                 s"topN=$topN and they cover $covered of $total stream " +
                 s"tokens — the vocabulary is flat enough that the sketch " +
@@ -328,8 +360,8 @@ object Profile {
             org.apache.spark.sql.types.LongType, nullable = false),
           org.apache.spark.sql.types.StructField("rank",
             org.apache.spark.sql.types.IntegerType, nullable = false)))
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+        Right(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema))
       } finally grouped.unpersist()
     } finally summaries.unpersist()
   }

@@ -273,6 +273,23 @@ class CorpusSpec extends SparkSpecBase {
     }
   }
 
+  test("decontaminateBloom with zero eval grams returns train unchanged") {
+    // bloom_filter_agg over an empty input yields a null buffer — without
+    // the short-circuit BloomFilter.readFrom(null) throws. The contract is
+    // identity with the exact form, which keeps everything here.
+    val train = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
+    // empty eval frame
+    val emptyEval = train.filter(col("doc_id") < 0)
+    val k1 = Corpus.decontaminateBloom(train, col("doc_id"), col("text"),
+      emptyEval, col("text"), n = 3).select("doc_id").as[Long].collect().toSet
+    assert(k1 == Set(1L, 2L))
+    // non-empty eval, but every doc shorter than n tokens -> zero grams
+    val shortEval = Seq((9L, "x y")).toDF("doc_id", "text")
+    val k2 = Corpus.decontaminateBloom(train, col("doc_id"), col("text"),
+      shortEval, col("text"), n = 3).select("doc_id").as[Long].collect().toSet
+    assert(k2 == Set(1L, 2L))
+  }
+
   test("decontaminateBloom probes map-side: the bloom filter precedes any join") {
     val plan = Corpus.decontaminateBloom(docs, col("doc_id"), col("text"),
         docs.filter(col("doc_id") < 10), col("text"), n = 3)

@@ -204,18 +204,56 @@ class ProfileSpec extends SparkSpecBase {
     assert(a == b, "exact recount must erase the sketch's order-sensitivity")
   }
 
-  test("heavyHitters fails fast when the distribution has no heavy hitters") {
-    // near-uniform vocabulary, tiny capacity: the rank-N count cannot clear
-    // N/(capacity+1), so silence would risk a wrong answer — must throw
+  test("heavyHitters refuses a flat distribution the CEILING cannot prove") {
+    // near-uniform vocabulary, capacity ceiling below the vocabulary size:
+    // no capacity ≤ maxCapacity can clear N/(capacity+1), so silence would
+    // risk a wrong answer — must throw even after self-sizing retries
     val docs = (1 to 3000).map(i => s"u$i").grouped(10)
       .map(_.mkString(" ")).toSeq.toDF("text")
     val e = intercept[graft.GraftException] {
-      Profile.heavyHitters(docs, col("text"), topN = 10, capacity = 16)
+      Profile.heavyHitters(docs, col("text"), topN = 10, capacity = 16,
+        maxCapacity = 64)
     }
     // either guard branch is a legitimate trip: the rank-N count failing
     // the MG bound, or the candidate set coming back too thin to fill topN
     assert(e.getMessage.contains("raise capacity"),
       s"unexpected guard message: ${e.getMessage}")
+    assert(e.getMessage.contains("self-sizing exhausted"),
+      s"ceiling refusal must say the retries happened: ${e.getMessage}")
+  }
+
+  test("heavyHitters self-sizes past a too-small initial capacity") {
+    // same flat corpus, default ceiling: doubling 16 → 4096 ≥ vocabulary
+    // makes the sketch lossless, the candidates cover the whole stream,
+    // and the exact recount's top-10 (all counts 1, token-asc tie-break)
+    // is provable — the caller never has to intervene
+    val docs = (1 to 3000).map(i => s"u$i").grouped(10)
+      .map(_.mkString(" ")).toSeq.toDF("text")
+    val got = Profile.heavyHitters(docs, col("text"), topN = 10,
+        capacity = 16)
+      .select("token", "cnt", "rank").as[(String, Long, Int)].collect().toSeq
+    val want = docs.select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .groupBy("t").count()
+      .orderBy(col("count").desc, col("t").asc).limit(10)
+      .collect().zipWithIndex
+      .map { case (r, i) => (r.getString(0), r.getLong(1), i + 1) }.toSeq
+    assert(got == want)
+  }
+
+  test("heavyHitters self-sizes on a thin-candidate corpus (starved topN)") {
+    // Zipf head much narrower than topN at tiny capacity: the candidate
+    // set comes back too thin to fill topN ranks; doubling converges
+    val docs = (1 to 120).flatMap(i => Seq.fill(600 / i)(s"w$i"))
+      .grouped(13).map(_.mkString(" ")).toSeq.toDF("text")
+    val got = Profile.heavyHitters(docs, col("text"), topN = 25,
+        capacity = 25)
+      .select("token", "cnt", "rank").as[(String, Long, Int)].collect().toSeq
+    val want = docs.select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .groupBy("t").count()
+      .orderBy(col("count").desc, col("t").asc).limit(25)
+      .collect().zipWithIndex
+      .map { case (r, i) => (r.getString(0), r.getLong(1), i + 1) }.toSeq
+    assert(got == want)
   }
 
   test("repetitionSignals known answers incl. single-word doc") {
