@@ -617,6 +617,18 @@ object GraftFunctions {
                             bloom: org.apache.spark.util.sketch.BloomFilter): Column =
     toCol(BloomMightContainLong(toExpr(c), bloom))
 
+  /** One-pass Bloom build over a LONG column, sized for `estItems` at
+    * `fpp`. Yields the serialized filter (BinaryType), NULL on empty
+    * input. Use when the item count is already known (hint) — avoids the
+    * count() pre-pass `df.stat.bloomFilter` requires. Overestimating
+    * `estItems` is safe: the filter just gets bigger (lower fpp). */
+  def bloomFilterAgg(c: Column, estItems: Long, fpp: Double): Column = {
+    require(estItems > 0, "need estItems > 0")
+    require(fpp > 0.0 && fpp < 1.0, "need 0 < fpp < 1")
+    toCol(GraftShims.bloomFilterAggExpr(toExpr(c), estItems,
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(estItems, fpp)))
+  }
+
   /** Bounded-state smallest-k collect: Spark's CollectTopK aggregate with
     * the ordering reversed, so each group keeps its `k` SMALLEST elements
     * in a size-k priority queue — with map-side partial aggregation. This

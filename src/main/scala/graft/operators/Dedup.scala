@@ -363,8 +363,11 @@ object Dedup {
     * the specific form directly. */
   def simhashPairsAuto(docs: DataFrame, id: Column, text: Column,
                        maxHamming: Int = 3, bucketCap: Int = 10000,
-                       wideThreshold: Long = 1L << 18): DataFrame = {
-    val n = docs.select(id).count()
+                       wideThreshold: Long = 1L << 18,
+                       rowCountHint: Option[Long] = None): DataFrame = {
+    // hint > exact statistics > parquet footers > count() — the routing
+    // count is metadata when the frame allows it (PlanStats scaladoc)
+    val n = graft.plans.PlanStats.rowCount(docs.select(id), rowCountHint)
     if (n >= wideThreshold)
       simhashPairsWide(docs, id, text, maxHamming, bucketCap)
     else {
@@ -495,11 +498,13 @@ object Dedup {
   def embeddingLshPairs(vecs: DataFrame, id: Column, vec: Column,
                         threshold: Double, bands: Int = 8,
                         bitsPerBand: Int = 0, seed: Long = 42L,
-                        bucketCap: Int = 10000): DataFrame = {
+                        bucketCap: Int = 10000,
+                        rowCountHint: Option[Long] = None): DataFrame = {
     require(bands > 0, "need bands > 0")
     val bits =
       if (bitsPerBand > 0) bitsPerBand
-      else autoBandBits(vecs.select(id).count())
+      else autoBandBits(
+        graft.plans.PlanStats.rowCount(vecs.select(id), rowCountHint))
     require(bits <= 62, s"bitsPerBand=$bits exceeds the 62-bit hash range")
     // quantized sidecars (1 B/dim codes, max-abs scale, exact norm) are
     // computed IN the banding projection — pure map-side, no join — and
@@ -810,11 +815,13 @@ object Dedup {
     * verbatim — `stride` < `spanChars` tightens recall at linear cost. */
   def repeatedSpans(docs: DataFrame, id: Column, text: Column,
                     spanChars: Int = 40, stride: Int = 40,
-                    minDocs: Int = 2, fpp: Double = 0.01): DataFrame = {
+                    minDocs: Int = 2, fpp: Double = 0.01,
+                    candCountHint: Option[Long] = None): DataFrame = {
     require(spanChars > 0, "need spanChars > 0")
     require(stride > 0, "need stride > 0")
     require(minDocs >= 2, "need minDocs >= 2")
     require(fpp > 0.0 && fpp < 1.0, "need 0 < fpp < 1")
+    require(candCountHint.forall(_ > 0L), "candCountHint must be > 0")
     val base = docs.filter(text.isNotNull)
       .select(id.as("doc_id"), text.as("__rs_text"))
     val spanEnd =
@@ -830,15 +837,32 @@ object Dedup {
       .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .select(col("h"))
-    // one bounded scalar action sizes the sketch (autoStride's pattern);
-    // a duplicate-free corpus short-circuits — stat.bloomFilter over zero
-    // rows merges to a null-buffer sketch, and there is nothing to probe
-    val nCand = candHash.count()
     val totals = base.select(col("doc_id"),
       (floor(spanEnd / stride).cast("long") + 1).as("total_spans"))
-    if (nCand == 0L)
+    // Sketch sizing: WITHOUT a hint, one bounded count action sizes the
+    // filter (autoStride's pattern) and a duplicate-free corpus
+    // short-circuits before the build. WITH candCountHint the candidate
+    // pipeline executes exactly ONCE — the Bloom aggregate itself — since
+    // stat.bloomFilter's separate count() pre-pass is the thing a 100 TB
+    // caller shouldn't pay twice. Overestimates are safe (bigger filter,
+    // lower fpp; exactness is unconditional — the Bloom only nominates,
+    // the exact-text re-verification confirms). The aggregate yields a
+    // NULL buffer over zero rows, which IS the duplicate-free signal.
+    val bloomOpt = candCountHint match {
+      case Some(est) =>
+        val row = candHash
+          .select(GraftFunctions.bloomFilterAgg(col("h"), est, fpp)).head()
+        if (row.isNullAt(0)) None
+        else Some(org.apache.spark.util.sketch.BloomFilter
+          .readFrom(row.getAs[Array[Byte]](0)))
+      case None =>
+        val nCand = candHash.count()
+        if (nCand == 0L) None
+        else Some(candHash.stat.bloomFilter("h", nCand, fpp))
+    }
+    if (bloomOpt.isEmpty)
       return totals.withColumn("dup_spans", lit(0L))
-    val bloom = candHash.stat.bloomFilter("h", nCand, fpp)
+    val bloom = bloomOpt.get
     val survivors = windows
       .withColumn("h", xxhash64(col("span")))
       .filter(GraftFunctions.bloomMightContainLong(col("h"), bloom))

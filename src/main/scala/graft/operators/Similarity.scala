@@ -118,9 +118,14 @@ object Similarity {
     * (×100 assignment cost per decade² under a pinned stride). One
     * bounded count; floor(sqrt(N)/2) is IEEE-identical in DuckDB
     * (`GREATEST(1, CAST(FLOOR(sqrt(count(*)) / 2.0) AS INT))`) so
-    * stride-keyed oracles stay reproducible. */
-  def autoStride(corpus: DataFrame): Int =
-    math.max(1, math.floor(math.sqrt(corpus.count().toDouble) / 2.0).toInt)
+    * stride-keyed oracles stay reproducible. The count itself resolves
+    * through [[graft.plans.PlanStats]] — caller hint, exact catalog
+    * statistics, or parquet footer metadata when the frame is a bare
+    * scan — so routing costs a scan only when no metadata source exists. */
+  def autoStride(corpus: DataFrame, rowCountHint: Option[Long] = None): Int =
+    math.max(1, math.floor(math.sqrt(
+      graft.plans.PlanStats.rowCount(corpus, rowCountHint).toDouble)
+      / 2.0).toInt)
 
   /** Lloyd-refined centroids: start from the stride sample and run `iters`
     * assign/mean rounds (spherical k-means — assignment by cosine, mean
@@ -198,13 +203,17 @@ object Similarity {
   val hierThreshold: Long = 1L << 17
 
   /** Corpus-size-routed IVF build (the autoStride/autoSimhash pattern):
-    * one bounded count picks flat (exact argmax, oracle-reproducible)
+    * the corpus size picks flat (exact argmax, oracle-reproducible)
     * below [[hierThreshold]] vectors, hierarchical ([[ivfIndexHier]],
     * ≈ N^1.25 assignment) at or above it — so no caller rides the flat
-    * N^1.5 build into the 10^8-vector regime. */
+    * N^1.5 build into the 10^8-vector regime. The size resolves through
+    * [[graft.plans.PlanStats]] (hint > exact statistics > parquet
+    * footers > count()), so routing is metadata-free-of-charge on a bare
+    * scan and a caller with a known corpus size never pays a pre-pass. */
   def ivfIndexAuto(corpus: DataFrame, centroidStride: Int,
-                   wProbe: Int = 2): DataFrame = {
-    if (corpus.count() >= hierThreshold)
+                   wProbe: Int = 2,
+                   rowCountHint: Option[Long] = None): DataFrame = {
+    if (graft.plans.PlanStats.rowCount(corpus, rowCountHint) >= hierThreshold)
       ivfIndexHier(corpus, strideCentroids(corpus, centroidStride), wProbe)
     else ivfIndex(corpus, centroidStride)
   }

@@ -25,6 +25,22 @@ object GraftShims {
     new org.apache.spark.sql.catalyst.expressions.aggregate
       .CollectTopK(e, k, true, 0, 0).toAggregateExpression()
 
+  /** `BloomFilterAggregate` (private[sql]) over a LONG column with an
+    * explicit size: lets a caller who KNOWS the approximate item count
+    * build the sketch in one pass — `DataFrameStatFunctions.bloomFilter`
+    * needs the exact count up front, which costs a whole extra execution
+    * of the input pipeline. The aggregate's putLong path is bit-compatible
+    * with `BloomFilter.mightContainLong` (graft's codegen probe). Returns
+    * the serialized filter bytes; NULL on empty input (callers must
+    * short-circuit — see Dedup.repeatedSpans). */
+  def bloomFilterAggExpr(e: Expression, estItems: Long,
+                         numBits: Long): Expression =
+    new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(e,
+        org.apache.spark.sql.catalyst.expressions.Literal(estItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression()
+
   /** True while the query's stream-execution thread is actually alive.
     * `StreamingQuery.isActive` flips false as soon as stop() marks the
     * state TERMINATED — even though a hung batch can keep the execution
