@@ -1506,12 +1506,24 @@ object SparkEntry {
         GraftFunctions.fingerprint(col("text")).as("fp"))),
 
     // ---- multimodal plumbing (north star) ------------------------------
+    // REAL header decode: the engine synthesizes spec-conforming PNG /
+    // JPEG / GIF containers (dims derived from doc_id, text bytes as the
+    // opaque body), then extractMeta parses format/width/height back OUT
+    // OF THE BYTES — the oracle recomputes the generator's known answers
+    // from doc_id, so any parse slip (endianness, marker scan, header
+    // length) hash-mismatches. digest is excluded here: DuckDB cannot md5
+    // raw binary; media_features proves the digest path over the hex
+    // rendering instead.
     "multimodal_meta" -> ((s, d) => {
-      val media = Multimodal.asBinaryPayload(T(s, d, "documents"),
-        col("doc_id"), col("text"),
-        when(col("doc_id") % 3 === 0, "image")
-          .when(col("doc_id") % 3 === 1, "audio").otherwise("video"))
+      val fmt = when(col("doc_id") % 3 === 0, "png")
+        .when(col("doc_id") % 3 === 1, "jpeg").otherwise("gif")
+      val media = Multimodal.synthesizeMedia(T(s, d, "documents"),
+        col("doc_id"), col("text"), fmt,
+        (lit(16) + col("doc_id") % 480).cast("int"),
+        (lit(16) + expr("doc_id DIV 2") % 360).cast("int"))
       Multimodal.extractMeta(media).toDF()
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          col("width"), col("height"), col("frames"))
     }),
 
     "frame_sample" -> ((s, d) => {
@@ -1525,15 +1537,17 @@ object SparkEntry {
           col("n_sampled"))
     }),
 
-    // Decode → feature-extract bridge: stub features from the payload
-    // digest feed the ANN operators; per-dim values are oracled (the md5
-    // formula is engine-independent), proving the multimodal → embedding
-    // hand-off end to end.
+    // Decode → feature-extract bridge over REAL container bytes: GIF
+    // payloads (CRC-free header, so the oracle can reconstruct the exact
+    // byte stream as hex in SQL) feed featureStub, whose digest is
+    // md5(hex(payload)) — per-dim feature values are fully oracled,
+    // proving the multimodal → embedding hand-off end to end on real
+    // synthesized media.
     "media_features" -> ((s, d) => {
-      val media = Multimodal.asBinaryPayload(T(s, d, "documents"),
-        col("doc_id"), col("text"),
-        when(col("doc_id") % 3 === 0, "image")
-          .when(col("doc_id") % 3 === 1, "audio").otherwise("video"))
+      val media = Multimodal.synthesizeMedia(T(s, d, "documents"),
+        col("doc_id"), col("text"), lit("gif"),
+        (lit(16) + col("doc_id") % 480).cast("int"),
+        (lit(16) + expr("doc_id DIV 2") % 360).cast("int"))
       val feats = Multimodal.featureStub(media, dim = 4)
       feats.select((col("doc_id") +: (0 until 4).map(i =>
         round(element_at(col("embedding"), i + 1).cast("double"), 6)
@@ -3069,17 +3083,15 @@ object SparkEntry {
 
     "multimodal_meta" ->
       """SELECT doc_id,
-        | CASE WHEN doc_id % 3 = 0 THEN 'image'
-        |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-        | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-        | md5(text) AS digest,
-        | CAST(16 + octet_length(CAST(text AS BLOB)) % 64 AS INT) AS width,
-        | CAST(16 + (octet_length(CAST(text AS BLOB)) // 64) % 64 AS INT) AS height,
-        | CAST(CASE WHEN doc_id % 3 = 2
-        |   THEN 1 + octet_length(CAST(text AS BLOB)) % 30
-        |   WHEN doc_id % 3 = 1
-        |   THEN 1 + octet_length(CAST(text AS BLOB)) % 1000
-        |   ELSE 1 END AS INT) AS frames
+        | CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |      WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'gif' END AS media_type,
+        | CAST(octet_length(CAST(text AS BLOB))
+        |   + CASE WHEN doc_id % 3 = 0 THEN 33
+        |          WHEN doc_id % 3 = 1 THEN 53 ELSE 13 END AS BIGINT)
+        |   AS n_bytes,
+        | CAST(16 + doc_id % 480 AS INT) AS width,
+        | CAST(16 + (doc_id // 2) % 360 AS INT) AS height,
+        | CAST(1 AS INT) AS frames
         |FROM documents""".stripMargin,
 
     "zorder_key" ->
@@ -3092,7 +3104,14 @@ object SparkEntry {
         |WHERE CAST(floor(value) AS INT) % 1024 >= 0""".stripMargin,
 
     "media_features" ->
-      """WITH f AS (SELECT doc_id, md5(text) AS dg FROM documents),
+      """WITH f AS (SELECT doc_id,
+        |   md5('474946383961'
+        |     || printf('%02X%02X', (16 + doc_id % 480) & 255,
+        |               (16 + doc_id % 480) >> 8)
+        |     || printf('%02X%02X', (16 + (doc_id // 2) % 360) & 255,
+        |               (16 + (doc_id // 2) % 360) >> 8)
+        |     || 'F70000'
+        |     || hex(CAST(text AS BLOB))) AS dg FROM documents),
         | u AS (SELECT doc_id,
         |   CAST(CAST(CAST(list_reduce(list_transform(
         |     string_to_array(substr(md5(dg || ':0'), 1, 8), ''),

@@ -643,6 +643,121 @@ class MultimodalSpec extends SparkSpecBase {
       .select("doc_id", "n_sampled").as[(Long, Int)].collect()
     assert(r.toSeq == Seq((1L, 4)))             // frames 0,3,6,9
   }
+
+  test("synthesizeImage -> parseImageMeta round-trips all three formats") {
+    val body = "opaque body bytes".getBytes("UTF-8")
+    // sizes straddling the byte boundary pin endianness (PNG/JPEG are
+    // big-endian, GIF little-endian — a swapped read fails at >255)
+    for (fmt <- Seq("png", "jpeg", "gif");
+         (w, h) <- Seq((1, 1), (16, 375), (300, 200), (511, 480),
+           (65535, 65535))) {
+      val bytes = Multimodal.synthesizeImage(fmt, w, h, body)
+      assert(Multimodal.parseImageMeta(bytes).contains((fmt, w, h)),
+        s"$fmt ${w}x$h failed: ${Multimodal.parseImageMeta(bytes)}")
+      assert(bytes.length == Multimodal.headerBytes(fmt) + body.length)
+    }
+  }
+
+  test("synthesized GIF header bytes are the spec's exact layout") {
+    val b = Multimodal.synthesizeImage("gif", 300, 200, Array.emptyByteArray)
+    val hex = b.map("%02X".format(_)).mkString
+    // 'GIF89a' + width 300 LE + height 200 LE + packed F7, bg 0, aspect 0
+    assert(hex == "474946383961" + "2C01" + "C800" + "F70000")
+  }
+
+  test("javax.imageio extracts the same dimensions from synthesized bytes") {
+    // independent header readers agree with parseImageMeta: the JDK's own
+    // PNG/JPEG readers parse dimensions from the header without needing
+    // valid pixel data (GIF's reader wants the per-image descriptor our
+    // junk body lacks, so its layout is pinned by the byte test above)
+    for (fmt <- Seq("png", "jpeg"); (w, h) <- Seq((300, 200), (511, 77))) {
+      val bytes = Multimodal.synthesizeImage(fmt, w, h,
+        "junk pixel data".getBytes("UTF-8"))
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      assert(readers.hasNext, s"no JDK reader recognized synthesized $fmt")
+      val r = readers.next()
+      r.setInput(iis)
+      try assert((r.getWidth(0), r.getHeight(0)) == (w, h), s"$fmt dims")
+      finally { r.dispose(); iis.close() }
+    }
+  }
+
+  test("parseImageMeta classifies garbage as None, never throws") {
+    val cases = Seq[Array[Byte]](
+      Array.emptyByteArray,
+      "plain text payload".getBytes("UTF-8"),
+      Array[Byte](0x89.toByte, 'P', 'N', 'G'),                // truncated png
+      Array[Byte](0xFF.toByte, 0xD8.toByte),                  // bare SOI
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte,
+        0xD9.toByte),                                         // SOI+EOI, no SOF
+      "GIF89a".getBytes("UTF-8"),                             // truncated gif
+      Multimodal.synthesizeImage("png", 10, 10,
+        Array.emptyByteArray).take(20)                        // cut mid-IHDR
+    )
+    cases.foreach(c => assert(Multimodal.parseImageMeta(c).isEmpty))
+    // zero dimensions are malformed per all three specs
+    val z = Multimodal.synthesizeImage("gif", 1, 1, Array.emptyByteArray)
+    z(6) = 0; z(7) = 0 // width -> 0
+    assert(Multimodal.parseImageMeta(z).isEmpty)
+  }
+
+  test("JPEG marker scan skips APPn/COM/DQT segments before SOF") {
+    // hand-built stream: SOI, COM(5 bytes data), DQT(4), APP13(2), SOF0
+    val bos = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, data: Array[Byte]): Unit = {
+      bos.write(0xFF); bos.write(marker)
+      val len = data.length + 2
+      bos.write(len >> 8); bos.write(len & 0xFF); bos.write(data)
+    }
+    bos.write(0xFF); bos.write(0xD8)
+    seg(0xFE, "comnt".getBytes("UTF-8"))
+    seg(0xDB, Array[Byte](0, 1, 2, 3))
+    seg(0xED, Array[Byte](9, 9))
+    seg(0xC1, Array[Byte](8, 1, 0x2A, 2, 0x1F, 3, 1, 0x11, 0, 2, 0x11,
+      1, 3, 0x11, 1)) // SOF1 extended sequential: h=298, w=543
+    bos.write("entropy junk".getBytes("UTF-8"))
+    assert(Multimodal.parseImageMeta(bos.toByteArray)
+      .contains(("jpeg", 543, 298)))
+  }
+
+  test("extractMeta decodes real image payloads, stubs the rest") {
+    val docs = Seq(
+      (0L, "png", "alpha body"), (1L, "jpeg", "beta body"),
+      (2L, "gif", "gamma body"), (3L, "video", "delta body")
+    ).toDF("doc_id", "fmt", "text")
+    val real = Multimodal.synthesizeMedia(
+      docs.filter(col("fmt") =!= "video"), col("doc_id"), col("text"),
+      col("fmt"), (lit(100) + col("doc_id")).cast("int"), lit(77))
+    val stub = Multimodal.asBinaryPayload(
+      docs.filter(col("fmt") === "video"), col("doc_id"), col("text"),
+      col("fmt"))
+    val r = Multimodal.extractMeta(real.unionByName(stub))
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(r(0L).media_type == "png" && r(0L).width == 100 &&
+      r(0L).height == 77 && r(0L).frames == 1)
+    assert(r(1L).media_type == "jpeg" && r(1L).width == 101)
+    assert(r(2L).media_type == "gif" && r(2L).width == 102)
+    // unparseable payload: deterministic stub under the declared type
+    val n = "delta body".length
+    assert(r(3L).media_type == "video" && r(3L).width == 16 + n % 64 &&
+      r(3L).frames == 1 + n % 30)
+  }
+
+  test("featureStub -> ANN hand-off runs on real synthesized bytes") {
+    val docs = (0L until 16L).map(i => (i, s"media body $i"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.synthesizeMedia(docs, col("doc_id"), col("text"),
+      when(col("doc_id") % 2 === 0, "png").otherwise("gif"),
+      (lit(20) + col("doc_id")).cast("int"), lit(30))
+    val feats = Multimodal.featureStub(media, dim = 8)
+      .withColumnRenamed("doc_id", "vec_id")
+    val r = Similarity.bruteForceTopK(
+        feats.filter(col("vec_id") < 2), feats, k = 3)
+      .groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(r == Map(0L -> 3L, 1L -> 3L))
+  }
 }
 
 class EmbeddingLshSpec extends SparkSpecBase {
