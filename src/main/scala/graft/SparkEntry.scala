@@ -1282,6 +1282,55 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // STREAMING twin executed for real: the eval gram sketch is built once
+    // (Corpus.bloomDecontaminator — the production deployment: static eval
+    // set, unbounded training stream), the train slice replays through a
+    // memory stream in two micro-batches, each gated EXACTLY via
+    // foreachBatch, and the kept ids semi-join back for full-row output.
+    // Oracle = the batch decontaminate SQL: stream ≡ batch is the
+    // contract. The train slice is id-capped so the replay harness (a
+    // driver-side collect by construction) stays bounded at any SF; the
+    // operator itself has no such cap.
+    "decontaminate_stream" -> ((s, d) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val docs = T(s, d, "documents")
+      val train = docs.filter(col("doc_id") % 97 =!= 0 &&
+        col("doc_id") < 20000L)
+      val eval = docs.filter(col("doc_id") % 97 === 0)
+      val dc = Corpus.bloomDecontaminator(eval, col("text"), n = 4)
+      try {
+        implicit val enc: org.apache.spark.sql.Encoder[(Long, String)] =
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.STRING)
+        val ms = MemoryStream[(Long, String)](s)
+        val kept = java.util.concurrent.ConcurrentHashMap
+          .newKeySet[java.lang.Long]()
+        val q = ms.toDF().toDF("doc_id", "text").writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            dc.exact(batch, col("doc_id"), col("text"))
+              .select("doc_id").collect()
+              .foreach(r => kept.add(r.getLong(0))): Unit
+          }.start()
+        try {
+          val rows = train.select("doc_id", "text").collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+          val half = math.max(1, rows.length / 2)
+          rows.grouped(half).foreach { chunk =>
+            ms.addData(chunk.toSeq: _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        import scala.jdk.CollectionConverters._
+        val keptIds = kept.asScala.map(Long2long).toSeq
+        val idsDf = s.createDataset(keptIds)(
+          org.apache.spark.sql.Encoders.scalaLong).toDF("__kept_id")
+        train.join(broadcast(idsDf), col("doc_id") === col("__kept_id"),
+            "left_semi")
+          .select(col("doc_id"), col("lang"))
+      } finally dc.close()
+    }),
+
     // Bloom-prefiltered decontamination: same exact output as
     // `decontaminate` at ANY fpp (Bloom errors are false-positive-only and
     // the exact semi-join kills those), so the oracle is the identical SQL.
@@ -2594,6 +2643,22 @@ object SparkEntry {
         |         WHERE g.doc_id % 97 <> 0)
         |SELECT doc_id, lang FROM d
         |WHERE doc_id % 97 <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    // The streaming twin gates micro-batches exactly against the prebuilt
+    // sketch, so its contract is stream ≡ batch: the oracle is the batch
+    // decontaminate SQL over the same (id-capped) train slice.
+    "decontaminate_stream" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS toks
+        |           FROM documents),
+        | g AS (SELECT doc_id, unnest(list_transform(
+        |     generate_series(1, len(toks) - 3),
+        |     i -> array_to_string(toks[i:i+3], ' '))) AS gram FROM d),
+        | ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        | bad AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
+        |         WHERE g.doc_id % 97 <> 0 AND g.doc_id < 20000)
+        |SELECT doc_id, lang FROM d
+        |WHERE doc_id % 97 <> 0 AND doc_id < 20000
         |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
 
     // Bloom prefiltering preserves exactness (false positives die in the

@@ -485,6 +485,29 @@ object Corpus {
     } finally evalGrams.unpersist()
   }
 
+  /** Build a [[BloomDecontaminator]]: the STREAMING deployment of
+    * [[decontaminateBloom]]. The eval corpus is static (benchmark sets
+    * change rarely); a production pipeline builds its gram sketch ONCE and
+    * gates the training stream against it forever after — this factory
+    * does the build (distinct grams persisted for the exact path, sketch
+    * sized by one bounded count), and the returned object exposes the two
+    * streaming forms. Call `close()` when retiring it. */
+  def bloomDecontaminator(eval: DataFrame, evalText: Column,
+                          n: Int = 13,
+                          fpp: Double = 0.01): BloomDecontaminator = {
+    require(n > 0, "need n > 0")
+    require(fpp > 0.0 && fpp < 1.0, "need 0 < fpp < 1")
+    val evalGrams = eval
+      .select(explode(TextFunctions.wordNGrams(evalText, n)).as("__dc_g"))
+      .distinct()
+      .persist()
+    val nGrams = evalGrams.count()
+    val bloom =
+      if (nGrams == 0L) { evalGrams.unpersist(); None }
+      else Some(evalGrams.stat.bloomFilter("__dc_g", nGrams, fpp))
+    new BloomDecontaminator(evalGrams, bloom, n)
+  }
+
   /** Split each document's token stream into fixed-size windows: one row
     * per (doc, chunk) with the chunk text, its token count, and the chunk
     * index. `stride` < `chunkSize` yields overlapping windows (the usual
@@ -506,4 +529,62 @@ object Corpus {
         least(lit(chunkSize), col("n_tok") - col("col")).cast("int")
           .as("chunk_len"))
   }
+}
+
+/** Streaming eval-set decontamination against a PREBUILT gram sketch —
+  * the production deployment of [[Corpus.decontaminateBloom]]: the eval
+  * corpus is static, so its Bloom filter is built once (driver-resident,
+  * serialized into every task closure like any broadcast scalar) and the
+  * training STREAM is gated against it with zero per-batch eval work.
+  *
+  * Two forms, one trade:
+  *  - [[gate]] is STATELESS map-only streaming: keep a record iff none of
+  *    its n-grams hits the sketch. No join, no state store, composes with
+  *    any streaming plan at any scale. Error is one-sided and
+  *    conservative: a clean doc is over-dropped with probability ≈
+  *    1-(1-fpp)^grams, a contaminated doc is NEVER leaked (Bloom has no
+  *    false negatives). For a decontamination gate, over-dropping a
+  *    10^-2-sliver is the safe direction.
+  *  - [[exact]] is the per-micro-batch form for `foreachBatch`: bloom
+  *    prefilter map-side, then the exact semi-join against the persisted
+  *    distinct-gram frame kills false positives — output IDENTICAL to the
+  *    batch operator on the same slice (CorpusSpec pins stream ≡ batch).
+  *    Direct use on an unbounded frame would need a stream-stream anti
+  *    join (rejected by Spark) — foreachBatch is the supported shape,
+  *    exactly like the exact `decontaminate`'s streaming composition.
+  */
+final class BloomDecontaminator private[operators] (
+    evalGrams: DataFrame,
+    bloom: Option[org.apache.spark.util.sketch.BloomFilter],
+    n: Int) {
+
+  /** Stateless streaming gate (works on streaming AND batch frames):
+    * map-only sketch probes inside whole-stage codegen, conservative
+    * one-sided error (see class doc). */
+  def gate(train: DataFrame, text: Column): DataFrame = bloom match {
+    case None => train
+    case Some(b) =>
+      train.filter(!exists(TextFunctions.wordNGrams(text, n),
+        g => GraftFunctions.bloomMightContain(g, b)))
+  }
+
+  /** Exact per-batch form for foreachBatch: ≡ [[Corpus.decontaminate]] on
+    * the same batch, at zero per-batch eval-side cost (the sketch is
+    * prebuilt, the gram frame persisted). */
+  def exact(trainBatch: DataFrame, id: Column, text: Column): DataFrame =
+    bloom match {
+      case None => trainBatch
+      case Some(b) =>
+        val contaminated = trainBatch
+          .select(id.as("__dc_id"),
+            explode(TextFunctions.wordNGrams(text, n)).as("__dc_g"))
+          .filter(GraftFunctions.bloomMightContain(col("__dc_g"), b))
+          .join(evalGrams, Seq("__dc_g"), "left_semi")
+          .select(col("__dc_id"))
+          .distinct()
+        trainBatch.join(contaminated, id === col("__dc_id"), "left_anti")
+    }
+
+  /** Drop the persisted gram frame. */
+  def close(): Unit = if (bloom.isDefined) evalGrams.unpersist()
 }

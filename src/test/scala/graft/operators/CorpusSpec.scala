@@ -342,6 +342,84 @@ class CorpusSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming Bloom decontamination: foreachBatch exact ≡ batch form") {
+    // the production twin of decontaminateBloom: the eval sketch + gram
+    // frame are built ONCE, then every micro-batch is gated exactly —
+    // output must equal the BATCH operator's on the same slice
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val slice = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // contaminated
+      (2L, "zeta eta theta iota kappa"),      // clean
+      (3L, "one two beta gamma delta three"), // contaminated mid-doc
+      (4L, "beta gamma epsilon delta"),       // shares words, not the 3-gram
+      (5L, "xx"))                             // shorter than n
+    val eval = Seq((100L, "prefix beta gamma delta suffix"))
+      .toDF("doc_id", "text")
+    val want = Corpus.decontaminateBloom(slice.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), eval, col("text"), n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    val dc = Corpus.bloomDecontaminator(eval, col("text"), n = 3)
+    try {
+      val s = MemoryStream[(Long, String)](spark)
+      val kept = scala.collection.mutable.Set[Long]()
+      val q = s.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          kept.synchronized {
+            kept ++= dc.exact(batch, col("doc_id"), col("text"))
+              .select("doc_id").collect().map(_.getLong(0))
+          }: Unit
+        }
+        .start()
+      try {
+        s.addData(slice.take(2): _*)
+        q.processAllAvailable()
+        s.addData(slice.drop(2): _*) // second micro-batch, same sketch
+        q.processAllAvailable()
+        assert(kept.synchronized(kept.toSet) == want)
+        assert(want == Set(2L, 4L, 5L))
+      } finally q.stop()
+    } finally dc.close()
+  }
+
+  test("streaming Bloom gate: stateless, never leaks, runs unfenced") {
+    // the map-only form runs DIRECTLY on the unbounded frame (no
+    // foreachBatch): conservative one-sided error — everything
+    // contaminated is dropped; kept ⊆ the exact output
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val eval = Seq((100L, "prefix beta gamma delta suffix"))
+      .toDF("doc_id", "text")
+    val dc = Corpus.bloomDecontaminator(eval, col("text"), n = 3)
+    try {
+      val s = MemoryStream[(Long, String)](spark)
+      val q = dc.gate(s.toDF().toDF("doc_id", "text"), col("text"))
+        .writeStream.format("memory").queryName("bloom_gate_out").start()
+      try {
+        s.addData(
+          (1L, "alpha beta gamma delta epsilon"), // contaminated
+          (2L, "zeta eta theta iota kappa"),      // clean
+          (3L, "one two beta gamma delta three")) // contaminated
+        q.processAllAvailable()
+        val kept = spark.table("bloom_gate_out")
+          .select("doc_id").as[Long].collect().toSet
+        assert(!kept.contains(1L) && !kept.contains(3L),
+          s"contaminated docs must never leak: $kept")
+        assert(kept.subsetOf(Set(2L)), s"kept ⊆ exact output: $kept")
+      } finally q.stop()
+    } finally dc.close()
+  }
+
+  test("bloomDecontaminator with zero eval grams passes everything through") {
+    val eval = Seq((9L, "x y")).toDF("doc_id", "text") // all docs < n tokens
+    val dc = Corpus.bloomDecontaminator(eval, col("text"), n = 3)
+    try {
+      val train = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
+      assert(dc.gate(train, col("text"))
+        .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+      assert(dc.exact(train, col("doc_id"), col("text"))
+        .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    } finally dc.close()
+  }
+
   test("corpus operators stay shuffle-free (no Exchange in the plan)") {
     val plans = Seq(
       Corpus.hashSample(docs, col("doc_id"), 0.2, "s"),
