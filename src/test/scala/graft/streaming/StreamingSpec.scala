@@ -214,6 +214,47 @@ class PunctuatorSpec extends SparkSpecBase {
       }
     } finally q.stop()
   }
+
+  test("heartbeat topic drives idle-window punctuation (PunctuateTest, " +
+      "no trigger clock)") {
+    // the reference fires punctuate on wall-clock even when idle
+    // (PunctuatorThread.java:14-47); PunctuateTest.java:70-109 pins 5
+    // punctuations in 10 s with NO records mid-window. Here the batches
+    // that evaluate the timers are driven by REAL rows from a heartbeat
+    // topic through the kafka-wire source — the default data-available
+    // trigger, no Trigger.ProcessingTime floor standing in for the
+    // punctuator thread.
+    val root = java.nio.file.Files.createTempDirectory("hb").toString
+    val hbWriter = Heartbeat.start(root, "hb", intervalMs = 150)
+    val data = MemoryStream[SubRecord](spark)
+    val out = Punctuator.punctuateWithHeartbeat(
+      data.toDS(), Heartbeat.subRecords(spark, root, "hb"), intervalMs = 300)
+    val q = out.writeStream.format("memory").queryName("punct_hb")
+      .outputMode("append").start() // default trigger: data-driven batches
+    try {
+      // ONE data record, then silence — every batch after this is
+      // heartbeat-driven
+      data.addData(SubRecord("k1", new Timestamp(1000L), "a", "v"))
+      val deadline = System.currentTimeMillis() + 60000
+      def punct() = spark.table("punct_hb").as[Punctuation]
+        .collect().toSeq
+      while (punct().count(_.subKey == "k1") < 5 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val all = punct()
+      val ticks = all.filter(_.subKey == "k1").map(_.punctuateTimeMs).sorted
+      assert(ticks.length >= 5,
+        s"PunctuateTest cadence: only ${ticks.length} punctuations in 60s")
+      ticks.sliding(2).foreach { case Seq(a, b) =>
+        assert(b > a && b - a >= 150,
+          s"cadence broken: ticks at ${ticks.mkString(",")}")
+      }
+      // no data records arrived mid-window: k1's seen count stays 1
+      assert(all.filter(_.subKey == "k1").forall(_.seenRecords == 1L),
+        s"unexpected data records counted: $all")
+      // the heartbeat's own key never reaches the output
+      assert(!all.exists(_.subKey == Heartbeat.Key), s"heartbeat leaked: $all")
+    } finally { q.stop(); hbWriter.close() }
+  }
 }
 
 class ListenerSpec extends SparkSpecBase {
