@@ -495,11 +495,63 @@ object Dedup {
     * threshold is probabilistic, as with any LSH geometry; raise `bands`
     * to buy it back); identical vectors collide on every band at any
     * width, so the recall-of-identical invariant is exact regardless. */
+  /** Sorted-run bucket capping: repartition by (band, bucket), radix-sort
+    * plain Tungsten rows within each task, then a streaming mapPartitions
+    * walks the sorted runs keeping each bucket's `cap` smallest members
+    * (O(cap) state, one pass) and emits ONE array row per bucket. This is
+    * the third cap mechanism next to the row_number window and the
+    * bounded collectSmallest aggregate: it pays the same exchange but
+    * sorts NARROW DATA ROWS (radix-sortable, no aggregation buffers)
+    * and never plants per-group object state — the ObjectHashAggregate
+    * 128-key sort fallback with object-SERIALIZED buffers is exactly what
+    * it avoids. Selection is identical to both other forms: ascending
+    * vec_id per bucket (unique ids ⇒ struct order ≡ vec_id order). */
+  private[graft] def sortedRunMembers(banded: DataFrame,
+                                      cap: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
+    val schema = banded.schema
+    val bandIdx = schema.fieldIndex("band")
+    val bucketIdx = schema.fieldIndex("bucket")
+    val memberIdx =
+      schema.fields.indices.filter(i => i != bandIdx && i != bucketIdx)
+    val memberStruct = StructType(memberIdx.map(schema.fields(_)).toSeq)
+    val outSchema = StructType(Seq(
+      schema.fields(bandIdx), schema.fields(bucketIdx),
+      StructField("ms", ArrayType(memberStruct, containsNull = false),
+        nullable = false)))
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    banded
+      .repartition(col("band"), col("bucket"))
+      .sortWithinPartitions(col("band"), col("bucket"), col("vec_id"))
+      .mapPartitions { rows =>
+        val it = rows.buffered
+        new Iterator[Row] {
+          override def hasNext: Boolean = it.hasNext
+          override def next(): Row = {
+            val h = it.head
+            val b = h.get(bandIdx)
+            val k = h.get(bucketIdx)
+            val members = new scala.collection.mutable.ArrayBuffer[Row](8)
+            var n = 0
+            while (it.hasNext && it.head.get(bandIdx) == b &&
+                it.head.get(bucketIdx) == k) {
+              val r = it.next()
+              if (n < cap) members += Row.fromSeq(memberIdx.map(r.get))
+              n += 1
+            }
+            Row(b, k, members.toSeq)
+          }
+        }
+      }
+  }
+
   def embeddingLshPairs(vecs: DataFrame, id: Column, vec: Column,
                         threshold: Double, bands: Int = 8,
                         bitsPerBand: Int = 0, seed: Long = 42L,
                         bucketCap: Int = 10000,
-                        rowCountHint: Option[Long] = None): DataFrame = {
+                        rowCountHint: Option[Long] = None,
+                        sortedRunCap: Boolean = true): DataFrame = {
     require(bands > 0, "need bands > 0")
     val bits =
       if (bitsPerBand > 0) bitsPerBand
@@ -511,7 +563,7 @@ object Dedup {
     // ride the bucket shuffle at ~dim+16 bytes/row.
     //
     // r9 scale note (three experiments at sf100, 2M vectors): the grouped
-    // collect below ALWAYS sorts its shuffled input — ObjectHashAggregate
+    // collect ALWAYS sorts its shuffled input — ObjectHashAggregate
     // falls back to sort-based aggregation past 128 keys/task, and with
     // ~16M banded rows over 32 tasks that external sort under the
     // 150 MB/task budget is the measured "LSH spill" (the r8 hypothesis
@@ -528,6 +580,17 @@ object Dedup {
     // exchange — remains the right shape; the residual spill is healthy
     // bounded external-sort disk churn under a deliberately tiny heap,
     // linear in input, and absent at sf10 and below.
+    //
+    // r10: the FOURTH mechanism — sortedRunCap, the default — accepts
+    // that the external sort is unavoidable and makes it cheap: sort
+    // plain narrow Tungsten rows (radix path, no aggregation buffers),
+    // then build each bucket's capped member array in a one-pass
+    // streaming mapPartitions. Solo sf100 pair stage: 96.8 s (aggregate)
+    // → 64.1 s (sorted-run) at bit-identical shuffle (13.7 GB) and the
+    // same external-sort spill — the object-serialized agg-buffer
+    // machinery was the remaining distinguishing cost, exactly what the
+    // sorted-run walk removes. Output identity pinned by
+    // EmbeddingLshSpec (hot buckets, both geometries, cap binding).
     val sidecarCols = Seq(
       GraftFunctions.int8Codes(vec).as("c8"),
       GraftFunctions.int8Scale(vec).as("s8"),
@@ -578,14 +641,19 @@ object Dedup {
       (col("dotq") * col("sprod") / lit(16129.0) +
         col("n").cast("double") * col("sprod") * lit(errC)) / col("nprod"))
       .otherwise(lit(0.0))
-    // bounded smallest-cap collect (collectSmallest, selection identical
-    // to the former row_number window: vec_id leads the struct) feeding
-    // the in-bucket pair expansion — see the r9 scale note above
-    val survivors = banded
-      .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(GraftFunctions.collectSmallest(struct(
-        col("vec_id"), col("c8"), col("s8"), col("nrm")), bucketCap))
-        .as("ms"))
+    // bounded smallest-cap per bucket: either the collectSmallest
+    // aggregate (selection identical to the former row_number window:
+    // vec_id leads the struct — see the r9 scale note above) or the
+    // sorted-run mapPartitions walk ([[sortedRunMembers]]); all three
+    // mechanisms select the same members, ScaleDesignSpec pins it
+    val memberArrays =
+      if (sortedRunCap) sortedRunMembers(banded, bucketCap)
+      else banded
+        .groupBy(col("band"), col("bucket"))
+        .agg(sort_array(GraftFunctions.collectSmallest(struct(
+          col("vec_id"), col("c8"), col("s8"), col("nrm")), bucketCap))
+          .as("ms"))
+    val survivors = memberArrays
       .filter(size(col("ms")) > 1)
       .select(explode(flatten(transform(col("ms"), (x, i) =>
         transform(slice(col("ms"), i + lit(2), size(col("ms")) - i - lit(1)),

@@ -775,6 +775,34 @@ class EmbeddingLshSpec extends SparkSpecBase {
     assert(r == Set((1L, 2L)))
   }
 
+  test("sorted-run cap emits pairs identical to the aggregate cap, " +
+    "both geometries, cap binding and not") {
+    // three cap mechanisms must be interchangeable: the bounded aggregate
+    // (default) and the sorted-run mapPartitions walk select the same
+    // ascending-vec_id members per bucket — incl. on a HOT bucket where
+    // the cap actually bites (20 identical-direction vectors, cap 5)
+    val rnd = new scala.util.Random(11)
+    val hot = (0 until 20).map(i => (i.toLong, Array(1f, 0f, 0f, 0f, 0f,
+      0f, 0f, 0f).map(_ * (1f + i))))
+    val spread = (100 until 160).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }
+    val vecs = (hot ++ spread).toDF("vec_id", "embedding")
+    for ((bands, bits) <- Seq((8, 8), (4, 20))) { // packed and wide
+      def run(sorted: Boolean) =
+        Dedup.embeddingLshPairs(vecs, col("vec_id"), col("embedding"),
+            threshold = 0.5, bands = bands, bitsPerBand = bits,
+            bucketCap = 5, sortedRunCap = sorted)
+          .as[(Long, Long, Double)].collect().toSet
+      val agg = run(false)
+      val srt = run(true)
+      assert(agg == srt,
+        s"bands=$bands bits=$bits: only-agg=${agg.diff(srt)} " +
+          s"only-sorted=${srt.diff(agg)}")
+      assert(agg.nonEmpty, "hot bucket must yield capped pairs")
+    }
+  }
+
   test("int8 prefilter bound is SOUND: emitted pair set equals the " +
     "unfiltered exact-verification reference") {
     // the prefilter may only remove pairs exact verification would drop
