@@ -370,11 +370,16 @@ class DedupScaleSpec extends SparkSpecBase {
       s"tiny-group capping regressed to the object aggregate:\n$plan")
   }
 
-  test("embedding-LSH capping keeps the bounded aggregate (occupied buckets)") {
+  test("embedding-LSH capping rides the sorted-run walk (occupied buckets)") {
     // the hyperplane site's band space is corpus-sized (autoBandBits), so
-    // buckets are genuinely occupied — the regime where the in-bucket
-    // window sort spilled ~137 GB memory-equivalent at the r8 sf100 sweep
-    // and the bounded smallest-cap aggregate is the right form
+    // buckets are genuinely occupied. r8 measured the in-bucket window
+    // sort spilling ~137 GB memory-equivalent; r9 landed the bounded
+    // smallest-cap aggregate (178.8 s vs the window's 231.2 s solo); r10
+    // measured the sorted-run mapPartitions walk beating the aggregate
+    // 64.1 s vs 96.8 s at identical shuffle (the ObjectHashAggregate
+    // 128-key fallback's object-serialized buffers were the remaining
+    // cost) — the plan must carry the repartition + in-task Sort +
+    // MapPartitions shape, with NEITHER a window nor the object aggregate
     val vecs = (0L until 64L).map(i =>
       (i, Array.tabulate(8)(j => (i * 31 + j).toFloat % 7 - 3)))
       .toDF("vec_id", "embedding")
@@ -382,8 +387,12 @@ class DedupScaleSpec extends SparkSpecBase {
     val plan = Dedup.embeddingLshPairs(vecs, col("vec_id"), col("embedding"),
         threshold = 0.5)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("partial_collect_top_k"),
-      s"occupied-bucket capping must stay a bounded aggregate:\n$plan")
+    assert(plan.contains("MapPartitions") &&
+      plan.contains("REPARTITION_BY_COL"),
+      s"occupied-bucket capping must be the sorted-run walk:\n$plan")
+    assert(!plan.contains("partial_collect_top_k") &&
+      !plan.contains("Window"),
+      s"neither the object aggregate nor a window may reappear:\n$plan")
   }
 }
 
