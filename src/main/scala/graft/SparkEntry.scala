@@ -1282,6 +1282,30 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // CCNet/RefinedWeb-style paragraph-granular boilerplate removal:
+    // sentences recurring in >= 3 distinct docs are dropped everywhere and
+    // docs reassembled in order. Output carries md5(clean_text) so the
+    // full reassembly (order + separators + empty-doc handling) is
+    // hash-verified without shipping document bodies through the compare.
+    // The synthetic docs are single-line, so paragraph structure is
+    // PLANTED deterministically: a banner every doc shares, the unique
+    // body, an alternating footer pair (each in ~half the docs — hot),
+    // and a per-doc ref line (never hot). The operator must drop exactly
+    // the three planted boilerplate lines and reassemble body+ref.
+    "boilerplate_drop" -> ((s, d) => {
+      val paraDocs = T(s, d, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          lit("subscribe to our newsletter"),
+          col("text"),
+          when(col("doc_id") % 2 === 0, "all rights reserved")
+            .otherwise("contact us today"),
+          concat(lit("ref "), col("doc_id"))).as("text"))
+      Corpus.dropBoilerplate(paraDocs, col("doc_id"), col("text"),
+          sep = "\n", minDocs = 3)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_paras"), col("n_dropped"))
+    }),
+
     // STREAMING twin executed for real: the eval gram sketch is built once
     // (Corpus.bloomDecontaminator — the production deployment: static eval
     // set, unbounded training stream), the train slice replays through a
@@ -2644,6 +2668,31 @@ object SparkEntry {
         |SELECT doc_id, lang FROM d
         |WHERE doc_id % 97 <> 0
         |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    "boilerplate_drop" ->
+      """WITH docs2 AS (SELECT doc_id,
+        |   'subscribe to our newsletter' || chr(10) || text || chr(10)
+        |   || CASE WHEN doc_id % 2 = 0 THEN 'all rights reserved'
+        |           ELSE 'contact us today' END
+        |   || chr(10) || 'ref ' || CAST(doc_id AS VARCHAR) AS text
+        | FROM documents),
+        | p AS (SELECT doc_id,
+        |   unnest(string_split(text, chr(10))) AS para,
+        |   unnest(range(1, len(string_split(text, chr(10))) + 1)) AS i
+        | FROM docs2),
+        | hot AS (SELECT h FROM (SELECT DISTINCT md5(para) AS h, doc_id
+        |                        FROM p)
+        |         GROUP BY h HAVING count(*) >= 3),
+        | kept AS (SELECT doc_id, i, para FROM p
+        |          WHERE md5(para) NOT IN (SELECT h FROM hot)),
+        | re AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY i)
+        |          AS clean_text, count(*) AS n_kept
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, md5(coalesce(re.clean_text, '')) AS clean_md5,
+        | CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_paras,
+        | CAST(len(string_split(d.text, chr(10))) - coalesce(re.n_kept, 0)
+        |   AS BIGINT) AS n_dropped
+        |FROM docs2 d LEFT JOIN re ON d.doc_id = re.doc_id""".stripMargin,
 
     // The streaming twin gates micro-batches exactly against the prebuilt
     // sketch, so its contract is stream ≡ batch: the oracle is the batch

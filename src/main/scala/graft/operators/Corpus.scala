@@ -485,6 +485,55 @@ object Corpus {
     } finally evalGrams.unpersist()
   }
 
+  /** CCNet-style boilerplate removal (Wenzek et al. 2020 §4.1 dedup the
+    * corpus at PARAGRAPH granularity; Penedo et al. 2023 RefinedWeb run
+    * the same line-level pass): a paragraph whose exact text recurs in
+    * ≥ `minDocs` DISTINCT documents is boilerplate (nav bars, cookie
+    * banners, license headers) and is dropped from every document; the
+    * survivors are reassembled in original order. Returns one row per
+    * input document: (doc_id, clean_text, n_paras, n_dropped) — documents
+    * that were pure boilerplate come back with an empty clean_text, never
+    * silently vanish.
+    *
+    * Scale shape: paragraph TEXT never shuffles for the counting — each
+    * paragraph collapses to md5 map-side, the (digest, doc_id) pairs
+    * reduce to distinct-doc counts (map-side combinable), and only the
+    * (rare) hot digests come back, joined against the paragraph stream by
+    * digest (AQE broadcasts the hot set — it is small by construction:
+    * boilerplate is repetitive, that is the point). Reassembly is a
+    * per-document collect of (idx, para) — state bounded by the document
+    * itself, the same bound as parsing it. The digest-keyed counting is
+    * exact under md5 collision-freedom, and the ORACLE uses the same
+    * digests, so engine/oracle agree by construction. */
+  def dropBoilerplate(docs: DataFrame, id: Column, text: Column,
+                      sep: String = "\n", minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, "need minDocs >= 2")
+    require(sep.nonEmpty, "need a non-empty separator")
+    val lit_sep = java.util.regex.Pattern.quote(sep)
+    val paras = docs
+      .select(id.as("doc_id"),
+        posexplode(split(text, lit_sep)).as(Seq("p_idx", "para")))
+      .withColumn("h", md5(col("para")))
+    val hot = paras
+      .select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("h"))
+    val kept = paras.join(hot, Seq("h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(sep,
+        transform(sort_array(collect_list(struct(col("p_idx"), col("para")))),
+          x => x.getField("para"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(id.as("doc_id"),
+        size(split(text, lit_sep)).cast("long").as("n_paras"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_paras"),
+        (col("n_paras") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Build a [[BloomDecontaminator]]: the STREAMING deployment of
     * [[decontaminateBloom]]. The eval corpus is static (benchmark sets
     * change rarely); a production pipeline builds its gram sketch ONCE and

@@ -342,6 +342,58 @@ class CorpusSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("dropBoilerplate removes cross-doc repeated paragraphs in place") {
+    val docs = Seq(
+      (1L, "cookie banner\nunique alpha\nall rights reserved"),
+      (2L, "unique beta\ncookie banner\nall rights reserved"),
+      (3L, "cookie banner\nunique gamma"),
+      (4L, "all alone here"),                         // untouched
+      (5L, "cookie banner\nall rights reserved"),     // pure boilerplate
+      (6L, "")                                        // empty doc
+    ).toDF("doc_id", "text")
+    // "cookie banner" in 4 docs, "all rights reserved" in 3 — both hot at
+    // minDocs=3; every "unique *" survives in original order
+    val r = Corpus.dropBoilerplate(docs, col("doc_id"), col("text"),
+        sep = "\n", minDocs = 3)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (1L, "unique alpha", 3L, 2L),
+      (2L, "unique beta", 3L, 2L),
+      (3L, "unique gamma", 2L, 1L),
+      (4L, "all alone here", 1L, 0L),
+      (5L, "", 2L, 2L),
+      (6L, "", 1L, 0L)), s"got $r")
+    // NB doc 6: the empty string IS its one paragraph, appears in 1 doc
+    // (plus doc-internal empties elsewhere would count), stays kept
+  }
+
+  test("dropBoilerplate keeps multi-paragraph order and interior repeats") {
+    // a paragraph repeated WITHIN one doc but nowhere else is not
+    // boilerplate (distinct-doc counting); order is by original index
+    val docs = Seq(
+      (1L, "x|xx|x|zz"),
+      (2L, "yy|zz"),
+      (3L, "zz|tail")
+    ).toDF("doc_id", "text")
+    val r = Corpus.dropBoilerplate(docs, col("doc_id"), col("text"),
+        sep = "|", minDocs = 3)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (1L, "x|xx|x", 4L, 1L),
+      (2L, "yy", 2L, 1L),
+      (3L, "tail", 2L, 1L)), s"got $r")
+  }
+
+  test("dropBoilerplate never shuffles paragraph text for the counting") {
+    val plan = Corpus.dropBoilerplate(docs, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    // the hot-digest side aggregates md5 digests only; paragraph strings
+    // reach an exchange solely in the per-doc reassembly collect
+    assert(plan.contains("md5"), s"digest-keyed counting expected:\n$plan")
+  }
+
   test("streaming Bloom decontamination: foreachBatch exact ≡ batch form") {
     // the production twin of decontaminateBloom: the eval sketch + gram
     // frame are built ONCE, then every micro-batch is gated exactly —
