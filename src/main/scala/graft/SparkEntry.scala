@@ -1282,6 +1282,23 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // CCNet-style corpus-trained bigram-LM perplexity score (the KenLM
+    // quality-filter slot): per-bigram log-probs rounded to 6 dp and
+    // summed as DECIMAL so each doc's score is order-independent.
+    "lm_perplexity" -> ((s, d) =>
+      Corpus.lmPerplexity(T(s, d, "documents"), col("doc_id"), col("text"),
+        k = 0.5)),
+
+    // Temperature/quality-weighted sampling: keep probability derived per
+    // row from a quality proxy (token count band), deterministic by id.
+    "weighted_sample" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val rate = least(lit(1.0),
+        TextFunctions.tokenCount(col("text")).cast("double") / lit(200.0))
+      Corpus.weightedHashSample(docs, col("doc_id"), rate, salt = "wq")
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // CCNet/RefinedWeb-style paragraph-granular boilerplate removal:
     // sentences recurring in >= 3 distinct docs are dropped everywhere and
     // docs reassembled in order. Output carries md5(clean_text) so the
@@ -2668,6 +2685,39 @@ object SparkEntry {
         |SELECT doc_id, lang FROM d
         |WHERE doc_id % 97 <> 0
         |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    "lm_perplexity" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |           FROM documents),
+        | b AS (SELECT doc_id,
+        |         unnest(toks[1:len(toks)-1]) AS w1,
+        |         unnest(toks[2:len(toks)]) AS w2
+        |       FROM t WHERE len(toks) >= 2),
+        | bc AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
+        | lc AS (SELECT w1, count(*) AS cl FROM b GROUP BY 1),
+        | v AS (SELECT count(DISTINCT w2) AS vocab FROM b),
+        | scored AS (SELECT doc_id,
+        |     CAST(round(ln((cb + 0.5) / (cl + 0.5 * vocab)), 6)
+        |       AS DECIMAL(18,6)) AS lp
+        |   FROM b JOIN bc USING (w1, w2) JOIN lc USING (w1) CROSS JOIN v),
+        | agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS slp
+        |         FROM scored GROUP BY 1)
+        |SELECT t.doc_id,
+        | coalesce(agg.n_bigrams, 0) AS n_bigrams,
+        | round(CAST(agg.slp AS DOUBLE) / agg.n_bigrams, 6) AS avg_logp,
+        | round(exp(-(CAST(agg.slp AS DOUBLE) / agg.n_bigrams)), 4) AS ppl
+        |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""".stripMargin,
+
+    "weighted_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(CAST(list_reduce(list_transform(
+        |    string_to_array(substr(md5('wq' || CAST(doc_id AS VARCHAR)),
+        |      1, 8), ''),
+        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS DOUBLE) / 4294967296.0 AS DOUBLE)
+        |  < least(1.0, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split(trim(text), ' ')) END
+        |      AS DOUBLE) / 200.0)""".stripMargin,
 
     "boilerplate_drop" ->
       """WITH docs2 AS (SELECT doc_id,

@@ -47,6 +47,17 @@ object Corpus {
     df.filter(hashUniform(id, salt) < lit(rate))
   }
 
+  /** Per-row sampling rate from a COLUMN — temperature/quality-weighted
+    * sampling (keep probability ∝ a per-document score, the mixture knob
+    * production corpora tune): same digest-uniform as [[hashSample]], so
+    * the draw is deterministic per id under any partitioning/retry, and
+    * the rate expression stays inside whole-stage codegen. Rates are
+    * clamped to [0, 1]. */
+  def weightedHashSample(df: DataFrame, id: Column, rate: Column,
+                         salt: String = ""): DataFrame =
+    df.filter(hashUniform(id, salt) <
+      least(lit(1.0), greatest(lit(0.0), rate)))
+
   /** Per-stratum sampling rates (e.g. per language): rate looked up from a
     * when-chain over the stratum column; strata absent from `rates` keep
     * `defaultRate`. */
@@ -483,6 +494,55 @@ object Corpus {
         .distinct()
       train.join(contaminated, id === col("__dc_id"), "left_anti")
     } finally evalGrams.unpersist()
+  }
+
+  /** CCNet-style LM quality score (Wenzek et al. 2020 §4.2 rank documents
+    * by language-model perplexity; the KenLM slot). The model here is an
+    * add-k-smoothed word-BIGRAM LM trained on the corpus itself — no
+    * external model file, everything derivable (and DuckDB-verifiable)
+    * from the data: P(w2|w1) = (c(w1,w2) + k) / (c(w1,·) + k·V) with V
+    * the distinct-successor vocabulary. Returns per document the bigram
+    * count, mean log-probability, and perplexity exp(−mean); docs with
+    * < 2 tokens score NULL (nothing to model), never vanish.
+    *
+    * Scale shape: counts are map-side-combinable groupBys keyed by words;
+    * scoring is two linear equi-joins keyed by (w1,w2)/(w1) — Zipf makes
+    * w1 hot ("the"), which is exactly the shape AQE's skew-join split
+    * handles on a plain shuffle join; V rides in as a broadcast 1-row
+    * frame (no driver action). Per-bigram log-probs are ROUNDED TO 6 dp
+    * AND SUMMED AS DECIMAL, so each document's score is order-independent
+    * — the same partial-sum-order drift the decade-3 money aggregates hit
+    * would otherwise make 10^9 doc scores engine-order-dependent. */
+  def lmPerplexity(docs: DataFrame, id: Column, text: Column,
+                   k: Double = 0.5): DataFrame = {
+    require(k > 0.0, "need smoothing k > 0")
+    val base = docs.select(id.as("doc_id"),
+      TextFunctions.tokens(text).as("toks"))
+    val bi = base.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(toks[i-1] AS w1, toks[i] AS w2))""".stripMargin))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val lc = bi.groupBy(col("w1")).agg(count(lit(1)).as("cl"))
+    val vocab = bi.agg(count_distinct(col("w2")).as("vocab"))
+    val scored = bi
+      .join(bc, Seq("w1", "w2"))
+      .join(lc, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(log((col("cb") + lit(k)) / (col("cl") + lit(k) * col("vocab"))),
+          6).cast("decimal(18,6)").as("lp"))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+    val avg = col("slp").cast("double") / col("n_bigrams")
+    base.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(avg, 6).as("avg_logp"),
+        round(exp(-avg), 4).as("ppl"))
   }
 
   /** CCNet-style boilerplate removal (Wenzek et al. 2020 §4.1 dedup the

@@ -342,6 +342,59 @@ class CorpusSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("lmPerplexity matches the hand-computed add-k bigram model") {
+    // corpus: "a b a b" and "a b" -> c(a,b)=3, c(b,a)=1; left counts
+    // c(a)=3, c(b)=1; successor vocab V = {a, b} = 2; k = 0.5:
+    //   lp(a,b) = ln(3.5 / (3 + 1)) ; lp(b,a) = ln(1.5 / (1 + 1))
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo"), (4L, ""))
+      .toDF("doc_id", "text")
+    val r = Corpus.lmPerplexity(docs, col("doc_id"), col("text"), k = 0.5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Option[Double], Option[Double])].collect().toSeq
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lpAB = r6(math.log(3.5 / 4.0))
+    val lpBA = r6(math.log(1.5 / 2.0))
+    val avg1 = (2 * lpAB + lpBA) / 3.0
+    val avg2 = lpAB
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.map(t => (t._1, t._2)) ==
+      Seq((1L, 3L), (2L, 1L), (3L, 0L), (4L, 0L)))
+    assert(r(0)._3.contains(r6(avg1)) && r(0)._4.contains(r4(math.exp(-avg1))))
+    assert(r(1)._3.contains(r6(avg2)) && r(1)._4.contains(r4(math.exp(-avg2))))
+    // sub-bigram docs score NULL, never vanish
+    assert(r(2)._3.isEmpty && r(3)._3.isEmpty)
+  }
+
+  test("lmPerplexity ranks repetitive text as more probable than rare text") {
+    // under a corpus-trained LM, the high-frequency pattern gets lower
+    // perplexity than the one-off word salad
+    val docs = (Seq((100L, "x y " * 50)) ++
+      (0L until 20L).map(i => (i, "x y x y x y")) :+
+      (999L, "q w e r t z u i o p")).toDF("doc_id", "text")
+    val r = Corpus.lmPerplexity(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+      .map(t => t._1 -> t._4).toMap
+    assert(r(0L).get < r(999L).get,
+      s"frequent pattern must beat word salad: ${r(0L)} vs ${r(999L)}")
+  }
+
+  test("weightedHashSample: per-row rates, deterministic, clamped") {
+    val docs = (0L until 2000L).map(i => (i, if (i < 1000) 0.1 else 5.0))
+      .toDF("doc_id", "rate")
+    val kept = Corpus.weightedHashSample(docs, col("doc_id"), col("rate"),
+        salt = "t").select("doc_id").as[Long].collect().toSet
+    // rate 5.0 clamps to 1.0: ALL high-rate rows kept
+    assert((1000L until 2000L).forall(kept.contains))
+    val lowKept = kept.count(_ < 1000L)
+    assert(lowKept > 50 && lowKept < 200, s"~10% of low-rate rows: $lowKept")
+    // deterministic under repartitioning
+    val again = Corpus.weightedHashSample(docs.repartition(7), col("doc_id"),
+        col("rate"), salt = "t").select("doc_id").as[Long].collect().toSet
+    assert(again == kept)
+  }
+
   test("dropBoilerplate removes cross-doc repeated paragraphs in place") {
     val docs = Seq(
       (1L, "cookie banner\nunique alpha\nall rights reserved"),
