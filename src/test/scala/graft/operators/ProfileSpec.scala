@@ -240,6 +240,35 @@ class ProfileSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("heavyHitters computed jump clears a failed bound in ONE retry") {
+    // fat head + flat tail, the sf100 shape: attempt 1 fills all topN
+    // ranks but kth = 50 ≤ bound = N/(cap+1), so instead of a doubling
+    // ladder the retry must jump straight to N/kth + 1 and succeed —
+    // each avoided attempt is two full corpus scans at scale
+    val docs = ((1 to 20).flatMap(i => Seq.fill(50)(f"h$i%02d")) ++
+      (1 to 5000).map(i => s"t$i"))
+      .grouped(10).map(_.mkString(" ")).toSeq.toDF("text")
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    val got =
+      try {
+        System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+        Profile.heavyHitters(docs, col("text"), topN = 10, capacity = 16)
+          .select("token", "cnt", "rank")
+          .as[(String, Long, Int)].collect().toSeq
+      } finally System.setErr(realErr)
+    val want = docs.select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .groupBy("t").count()
+      .orderBy(col("count").desc, col("t").asc).limit(10)
+      .collect().zipWithIndex
+      .map { case (r, i) => (r.getString(0), r.getLong(1), i + 1) }.toSeq
+    assert(got == want)
+    val retries = errBuf.toString("UTF-8").linesIterator
+      .count(_.contains("retrying at"))
+    assert(retries == 1,
+      s"computed jump must converge in exactly one retry, took $retries")
+  }
+
   test("heavyHitters self-sizes on a thin-candidate corpus (starved topN)") {
     // Zipf head much narrower than topN at tiny capacity: the candidate
     // set comes back too thin to fill topN ranks; doubling converges
