@@ -1289,6 +1289,47 @@ object SparkEntry {
       Corpus.lmPerplexity(T(s, d, "documents"), col("doc_id"), col("text"),
         k = 0.5)),
 
+    // CCNet's actual selection stage (Wenzek et al. 2020 §4.2): rank the
+    // corpus by LM perplexity and cut into head/middle/tail terciles.
+    // The global ntile(3) runs as the grouped prefix scan (one constant
+    // group spread over 256 balanced sort buckets — the window_ntile
+    // machinery), NOT a single-partition window; (ppl, doc_id) is unique
+    // so the scan is bit-identical to the window form. Unscored docs
+    // (< 2 tokens, ppl NULL) are excluded from ranking by contract.
+    "ccnet_bucket" -> ((s, d) => {
+      val scored = Corpus.lmPerplexity(T(s, d, "documents"),
+          col("doc_id"), col("text"), k = 0.5)
+        .filter(col("ppl").isNotNull)
+      Windows.rankFunctionsScan(scored, Seq(lit(1)), col("ppl"),
+          col("doc_id"), ntileK = 3)
+        .select(col("doc_id"), col("ppl"),
+          when(col("ntile") === 1, lit("head"))
+            .when(col("ntile") === 2, lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+    }),
+
+    // Contamination AUDIT (the report decontaminate acts on): per training
+    // doc, the count and fraction of its distinct word 4-grams found in
+    // the eval slice. Doc gram sets dedupe inside their own row; the eval
+    // grams broadcast; only (doc_id, count) partials shuffle.
+    "contamination_report" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Corpus.contaminationReport(
+        docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") % 97 === 0), col("text"), n = 4)
+    }),
+
+    // Deterministic epoch shuffle: a reproducible global training order —
+    // position = row_number along (md5-uniform(doc_id), doc_id). Runs as
+    // the distributed prefix scan (256 balanced buckets + broadcast
+    // offsets), never a single-partition window; the same order survives
+    // retries, repartitioning, and engine changes because the key is a
+    // digest of the id, not an RNG stream.
+    "shuffle_order" -> ((s, d) =>
+      Corpus.runningTotal(T(s, d, "documents"), col("doc_id"), lit(1),
+          Corpus.hashUniform(col("doc_id"), "ep"), out = "pos")
+        .select(col("doc_id"), col("pos"))),
+
     // Temperature/quality-weighted sampling: keep probability derived per
     // row from a quality proxy (token count band), deterministic by id.
     "weighted_sample" -> ((s, d) => {
@@ -2707,6 +2748,62 @@ object SparkEntry {
         | round(CAST(agg.slp AS DOUBLE) / agg.n_bigrams, 6) AS avg_logp,
         | round(exp(-(CAST(agg.slp AS DOUBLE) / agg.n_bigrams)), 4) AS ppl
         |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""".stripMargin,
+
+    "ccnet_bucket" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |           FROM documents),
+        | b AS (SELECT doc_id,
+        |         unnest(toks[1:len(toks)-1]) AS w1,
+        |         unnest(toks[2:len(toks)]) AS w2
+        |       FROM t WHERE len(toks) >= 2),
+        | bc AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
+        | lc AS (SELECT w1, count(*) AS cl FROM b GROUP BY 1),
+        | v AS (SELECT count(DISTINCT w2) AS vocab FROM b),
+        | scored AS (SELECT doc_id,
+        |     CAST(round(ln((cb + 0.5) / (cl + 0.5 * vocab)), 6)
+        |       AS DECIMAL(18,6)) AS lp
+        |   FROM b JOIN bc USING (w1, w2) JOIN lc USING (w1) CROSS JOIN v),
+        | agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS slp
+        |         FROM scored GROUP BY 1),
+        | ppl AS (SELECT doc_id,
+        |     round(exp(-(CAST(slp AS DOUBLE) / n_bigrams)), 4) AS ppl
+        |   FROM agg)
+        |SELECT doc_id, ppl,
+        |  CASE ntile(3) OVER (ORDER BY ppl, doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+        |  END AS bucket
+        |FROM ppl""".stripMargin,
+
+    "contamination_report" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |           FROM documents),
+        | gs AS (SELECT doc_id, list_distinct(list_transform(
+        |     generate_series(1, len(toks) - 3),
+        |     i -> array_to_string(toks[i:i+3], ' '))) AS grams FROM d),
+        | ev AS (SELECT DISTINCT unnest(grams) AS gram FROM gs
+        |        WHERE doc_id % 97 = 0),
+        | tr AS (SELECT doc_id, grams FROM gs WHERE doc_id % 97 <> 0),
+        | hit AS (SELECT t.doc_id, count(*) AS n_overlap
+        |         FROM (SELECT doc_id, unnest(grams) AS gram FROM tr) t
+        |         JOIN ev USING (gram) GROUP BY 1)
+        |SELECT tr.doc_id, CAST(len(tr.grams) AS INT) AS n_grams,
+        |  coalesce(hit.n_overlap, 0) AS n_overlap,
+        |  CASE WHEN len(tr.grams) = 0 THEN 0.0
+        |       ELSE round(CAST(coalesce(hit.n_overlap, 0) AS DOUBLE)
+        |              / len(tr.grams), 6)
+        |  END AS overlap_frac
+        |FROM tr LEFT JOIN hit ON tr.doc_id = hit.doc_id""".stripMargin,
+
+    "shuffle_order" ->
+      """WITH u AS (SELECT doc_id,
+        |  CAST(list_reduce(list_transform(
+        |    string_to_array(substr(md5('ep' || CAST(doc_id AS VARCHAR)),
+        |      1, 8), ''),
+        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS DOUBLE) / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, row_number() OVER (ORDER BY u, doc_id) AS pos
+        |FROM u""".stripMargin,
 
     "weighted_sample" ->
       """SELECT doc_id, lang FROM documents

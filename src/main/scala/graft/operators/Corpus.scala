@@ -496,6 +496,48 @@ object Corpus {
     } finally evalGrams.unpersist()
   }
 
+  /** Per-training-document contamination REPORT — the audit complement of
+    * [[decontaminate]]: for each training doc, how many of its DISTINCT
+    * word n-grams appear anywhere in the eval suite, and the fraction.
+    * Production pipelines run exactly this before choosing a drop policy
+    * (a doc 2% contaminated by a ubiquitous phrase and a doc that IS an
+    * eval answer both "share a gram"; only the fraction separates them —
+    * cf. the n-gram overlap audits in GPT-3 App. C / PaLM App. D).
+    *
+    * Scale shape: each doc's gram set is deduplicated INSIDE its own row
+    * (`array_distinct`, map-side — document text never shuffles); the
+    * distinct eval grams broadcast once and the probe is a broadcast
+    * left-semi join over the exploded grams, so the only thing that ever
+    * crosses the wire is (doc_id, hit-count) partials from the map-side-
+    * combinable count. Docs shorter than n tokens report n_grams = 0 /
+    * frac 0.0 rather than vanishing. At eval suites too large to
+    * broadcast as strings, gate the explode through
+    * [[graft.functions.GraftFunctions.bloomMightContain]] first, exactly
+    * as [[decontaminateBloom]] does — one-sided error keeps the exact
+    * semi-join's counts correct. */
+  def contaminationReport(train: DataFrame, id: Column, text: Column,
+                          eval: DataFrame, evalText: Column,
+                          n: Int = 13): DataFrame = {
+    require(n > 0, "need n > 0")
+    val evalGrams = eval
+      .select(explode(TextFunctions.wordNGrams(evalText, n)).as("__cr_g"))
+      .distinct()
+    val perDoc = train.select(id.as("doc_id"),
+      array_distinct(TextFunctions.wordNGrams(text, n)).as("__cr_gs"))
+    val hits = perDoc
+      .select(col("doc_id"), explode(col("__cr_gs")).as("__cr_g"))
+      .join(broadcast(evalGrams), Seq("__cr_g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("__cr_hits"))
+    perDoc.select(col("doc_id"), size(col("__cr_gs")).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("__cr_hits"), lit(0L)).as("n_overlap"))
+      .withColumn("overlap_frac",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(round(
+            col("n_overlap").cast("double") / col("n_grams"), 6)))
+  }
+
   /** CCNet-style LM quality score (Wenzek et al. 2020 §4.2 rank documents
     * by language-model perplexity; the KenLM slot). The model here is an
     * add-k-smoothed word-BIGRAM LM trained on the corpus itself — no

@@ -312,6 +312,34 @@ class CorpusSpec extends SparkSpecBase {
       s"eval-gram semi join must broadcast:\n$plan")
   }
 
+  test("contaminationReport: hand-computed distinct-gram overlap fractions") {
+    // eval doc holds grams {a b c, b c d}; train doc 1 shares exactly
+    // "a b c" (1 of its 2 distinct grams — the repeat must NOT double-
+    // count), doc 2 shares nothing, doc 3 is too short to have any gram
+    val eval = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a b c x a b c"), // grams: {a b c, b c x, c x a, x a b} +dup a b c
+      (2L, "p q r s"),
+      (3L, "t u")).toDF("doc_id", "text")
+    val got = Corpus.contaminationReport(train, col("doc_id"), col("text"),
+        eval, col("text"), n = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "n_overlap", "overlap_frac")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4, 1L, 0.25), // 5 grams, 4 distinct, "a b c" counted once
+      (2L, 2, 0L, 0.0),
+      (3L, 0, 0L, 0.0))) // shorter than n: reports zeros, never vanishes
+  }
+
+  test("contaminationReport broadcasts eval grams; doc text never shuffles") {
+    val plan = Corpus.contaminationReport(docs, col("doc_id"), col("text"),
+        docs.filter(col("doc_id") < 10), col("text"), n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"eval-gram probe must be a broadcast semi join:\n$plan")
+  }
+
   test("decontaminate composes with a streaming source via foreachBatch") {
     // decontaminate's exact two-pass shape (matched ids -> anti join) is a
     // stream-STREAM anti join if applied to a streaming frame directly,
