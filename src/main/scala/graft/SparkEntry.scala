@@ -1297,9 +1297,18 @@ object SparkEntry {
     // so the scan is bit-identical to the window form. Unscored docs
     // (< 2 tokens, ppl NULL) are excluded from ranking by contract.
     "ccnet_bucket" -> ((s, d) => {
+      // The rank scan references its input from several plan branches
+      // (sizes count, min/max stats, runningTotal's within/totals/offsets
+      // tree) — without the persist each branch re-runs the whole bigram-
+      // LM pipeline: measured 223.9 s / 85 GB spill at sf100 vs 99.1 s
+      // for one lm_perplexity pass. Persisting the 16-byte (doc_id, ppl)
+      // frame keeps lineage visible (the pipeline_full pattern) and the
+      // scan branches read the cache.
       val scored = Corpus.lmPerplexity(T(s, d, "documents"),
           col("doc_id"), col("text"), k = 0.5)
         .filter(col("ppl").isNotNull)
+        .select(col("doc_id"), col("ppl"))
+        .persist()
       Windows.rankFunctionsScan(scored, Seq(lit(1)), col("ppl"),
           col("doc_id"), ntileK = 3)
         .select(col("doc_id"), col("ppl"),
@@ -1329,6 +1338,45 @@ object SparkEntry {
       Corpus.runningTotal(T(s, d, "documents"), col("doc_id"), lit(1),
           Corpus.hashUniform(col("doc_id"), "ep"), out = "pos")
         .select(col("doc_id"), col("pos"))),
+
+    // PII redaction (Dolma/RefinedWeb scrubbing stage): emails, IPv4s,
+    // phone numbers → typed placeholders + per-category counts. The
+    // synthetic corpus has no natural PII, so the query PLANTS it
+    // deterministically from doc_id (the boilerplate_drop device) — the
+    // oracle replays the same planting and the same RE2∩java.util.regex
+    // automata.
+    "pii_redact" -> ((s, d) => {
+      val planted = T(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" mail user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(""),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" from 10."), (col("doc_id") % 200).cast("string"),
+              lit("."), (col("doc_id") % 97).cast("string"),
+              lit(".7"))).otherwise(""),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" call 555-"),
+              (col("doc_id") % 900 + 100).cast("string"), lit("-"),
+              (col("doc_id") % 9000 + 1000).cast("string")))
+            .otherwise("")).as("text"))
+      Corpus.piiRedact(planted, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_email").cast("long").as("n_email"),
+          col("n_ip").cast("long").as("n_ip"),
+          col("n_phone").cast("long").as("n_phone"),
+          md5(col("clean_text")).as("clean_md5"))
+    }),
+
+    // DSIR data selection (Xie et al. 2023): importance weights from a
+    // target-vs-raw unigram LM log-ratio, Gumbel-max top-K resampling
+    // with digest noise. Target = the eval slice, raw = the rest.
+    "dsir_sample" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Corpus.dsirSample(
+        docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") % 97 === 0), col("text"),
+        topK = 100, k = 0.5, salt = "ds")
+    }),
 
     // Temperature/quality-weighted sampling: keep probability derived per
     // row from a quality proxy (token count band), deterministic by id.
@@ -2793,6 +2841,74 @@ object SparkEntry {
         |              / len(tr.grams), 6)
         |  END AS overlap_frac
         |FROM tr LEFT JOIN hit ON tr.doc_id = hit.doc_id""".stripMargin,
+
+    "pii_redact" ->
+      """WITH planted AS (SELECT doc_id, text ||
+        |   CASE WHEN doc_id % 3 = 0 THEN ' mail user'
+        |     || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+        |   CASE WHEN doc_id % 5 = 0 THEN ' from 10.'
+        |     || CAST(doc_id % 200 AS VARCHAR) || '.'
+        |     || CAST(doc_id % 97 AS VARCHAR) || '.7' ELSE '' END ||
+        |   CASE WHEN doc_id % 7 = 0 THEN ' call 555-'
+        |     || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+        |     || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END AS text
+        | FROM documents),
+        | r1 AS (SELECT doc_id,
+        |   CAST(len(regexp_extract_all(text,
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |     AS n_email,
+        |   regexp_replace(text,
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |     '|||EMAIL|||', 'g') AS t1
+        |  FROM planted),
+        | r2 AS (SELECT doc_id, n_email,
+        |   CAST(len(regexp_extract_all(t1,
+        |     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |   regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+        |     '|||IP|||', 'g') AS t2
+        |  FROM r1)
+        |SELECT doc_id, n_email, n_ip,
+        |  CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{3}-\d{4}\b'))
+        |    AS BIGINT) AS n_phone,
+        |  md5(regexp_replace(t2, '\b\d{3}-\d{3}-\d{4}\b',
+        |    '|||PHONE|||', 'g')) AS clean_md5
+        |FROM r2""".stripMargin,
+
+    "dsir_sample" ->
+      """WITH d AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks
+        |           FROM documents),
+        | rw AS (SELECT doc_id, unnest(toks) AS w FROM d
+        |        WHERE doc_id % 97 <> 0 AND length(trim(text)) > 0),
+        | tg AS (SELECT unnest(toks) AS w FROM d
+        |        WHERE doc_id % 97 = 0 AND length(trim(text)) > 0),
+        | cr AS (SELECT w, count(*) AS cr FROM rw GROUP BY 1),
+        | ct AS (SELECT w, count(*) AS ct FROM tg GROUP BY 1),
+        | st AS (SELECT count(*) AS vocab,
+        |          coalesce(sum(cr), 0) AS nr, coalesce(sum(ct), 0) AS nt
+        |        FROM cr FULL OUTER JOIN ct USING (w)),
+        | scored AS (SELECT doc_id,
+        |     CAST(round(ln((coalesce(ct.ct, 0) + 0.5)
+        |       / (st.nt + 0.5 * st.vocab)), 6) AS DECIMAL(18,6))
+        |     - CAST(round(ln((cr.cr + 0.5)
+        |       / (st.nr + 0.5 * st.vocab)), 6) AS DECIMAL(18,6)) AS lw
+        |   FROM rw JOIN cr USING (w) LEFT JOIN ct USING (w) CROSS JOIN st),
+        | agg AS (SELECT doc_id, sum(lw) AS slw FROM scored GROUP BY 1),
+        | g AS (SELECT doc_id,
+        |    (CAST(list_reduce(list_transform(
+        |       string_to_array(substr(md5('ds' || CAST(doc_id AS VARCHAR)),
+        |         1, 8), ''),
+        |       c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |       (a, b) -> a * 16 + b) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+        |    FROM d WHERE doc_id % 97 <> 0)
+        |SELECT d.doc_id,
+        |  coalesce(CAST(agg.slw AS DOUBLE), 0.0) AS logw,
+        |  CAST(coalesce(agg.slw, CAST(0 AS DECIMAL(18,6)))
+        |    + CAST(round(-ln(-ln(g.u)), 6) AS DECIMAL(18,6)) AS DOUBLE)
+        |    AS score
+        |FROM d JOIN g ON d.doc_id = g.doc_id
+        |LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |WHERE d.doc_id % 97 <> 0
+        |ORDER BY score DESC, d.doc_id ASC LIMIT 100""".stripMargin,
 
     "shuffle_order" ->
       """WITH u AS (SELECT doc_id,

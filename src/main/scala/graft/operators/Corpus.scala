@@ -538,6 +538,104 @@ object Corpus {
             col("n_overlap").cast("double") / col("n_grams"), 6)))
   }
 
+  /** PII redaction (the Dolma / RefinedWeb scrubbing stage): replace
+    * email addresses, IPv4 addresses, and NNN-NNN-NNNN phone numbers with
+    * typed placeholder tokens (Dolma's `|||EMAIL_ADDRESS|||` convention),
+    * and report per-category match counts per document. Regexes are
+    * deliberately restricted to the dialect intersection of java.util.regex
+    * (Spark codegen) and RE2 (DuckDB): ASCII classes, bounded quantifiers,
+    * `\b` word boundaries — no lookaround, no backreferences — so the
+    * oracle replays the identical automaton. Redaction order is fixed
+    * (email → ip → phone): earlier passes insert letter/pipe placeholders
+    * that later digit-driven patterns cannot re-match, and the counts are
+    * taken against each pass's INPUT, so a string is attributed to exactly
+    * one category.
+    *
+    * Scale shape: a pure map-only kernel — three regexp_replace + three
+    * regexp_count over the text column, all inside whole-stage codegen, no
+    * shuffle, no UDF; the scan's column pruning and partition parallelism
+    * are untouched. At 100 TB this is the cheapest stage in the pipeline:
+    * one pass over the bytes per executor core. */
+  def piiRedact(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    val afterEmail = regexp_replace(text, email, "|||EMAIL|||")
+    val afterIp = regexp_replace(afterEmail, ip, "|||IP|||")
+    docs.select(id.as("doc_id"),
+      regexp_count(text, lit(email)).as("n_email"),
+      regexp_count(afterEmail, lit(ip)).as("n_ip"),
+      regexp_count(afterIp, lit(phone)).as("n_phone"),
+      regexp_replace(afterIp, phone, "|||PHONE|||").as("clean_text"))
+  }
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw doc by
+    * the log importance weight log p_target(x) − log p_raw(x) under two
+    * add-k-smoothed bag-of-words models (the paper's hashed-n-gram
+    * features, with word unigrams as the feature map — same estimator,
+    * DuckDB-replayable), then resample the top-K WITHOUT replacement via
+    * the Gumbel-max trick. The Gumbel noise is a digest of the doc id —
+    * not an RNG stream — so the selected set is reproducible across runs,
+    * retries, partitionings, and engines (the [[hashUniform]] rationale);
+    * u is offset to (0,1) exclusive so log(−log(u)) is always finite.
+    *
+    * Exactness: per-token log-ratios are rounded to 6 dp and summed as
+    * DECIMAL (the [[lmPerplexity]] device), so each doc's weight is
+    * order-independent; the final score adds one Gumbel double in a
+    * single IEEE op — bit-identical in any engine evaluating the same
+    * expression. Scale shape: both count tables are map-side-combinable
+    * groupBys; scoring joins the raw token stream on the word key (Zipf
+    * skew is AQE's skew-join case); corpus sizes and the joint vocabulary
+    * ride in as ONE broadcast row; the top-K is Spark's per-partition
+    * partial top-K (TakeOrderedAndProject), never a global sort. */
+  def dsirSample(raw: DataFrame, id: Column, text: Column,
+                 target: DataFrame, targetText: Column,
+                 topK: Int, k: Double = 0.5,
+                 salt: String = ""): DataFrame = {
+    require(topK > 0, "need topK > 0")
+    require(k > 0.0, "need smoothing k > 0")
+    val rawToks = raw.select(id.as("doc_id"),
+      explode(TextFunctions.tokens(text)).as("w"))
+    val tgtToks = target.select(
+      explode(TextFunctions.tokens(targetText)).as("w"))
+    val cr = rawToks.groupBy(col("w")).agg(count(lit(1)).as("cr"))
+    val ct = tgtToks.groupBy(col("w")).agg(count(lit(1)).as("ct"))
+    // joint vocabulary + both corpus sizes in one broadcast row
+    val stats = cr.join(ct, Seq("w"), "full_outer")
+      .agg(count(lit(1)).as("vocab"),
+        coalesce(sum(col("cr")), lit(0L)).as("nr"),
+        coalesce(sum(col("ct")), lit(0L)).as("nt"))
+    val scored = rawToks
+      .join(cr, Seq("w")) // every raw token has a raw count
+      .join(ct, Seq("w"), "left_outer")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (round(log((coalesce(col("ct"), lit(0L)) + lit(k)) /
+          (col("nt") + lit(k) * col("vocab"))), 6).cast("decimal(18,6)") -
+          round(log((col("cr") + lit(k)) /
+            (col("nr") + lit(k) * col("vocab"))), 6).cast("decimal(18,6)"))
+          .as("lw"))
+    val perDoc = scored.groupBy(col("doc_id")).agg(sum(col("lw")).as("slw"))
+    // (hex32 + 0.5) / 2^32 ∈ (0,1) strictly: never 0 or 1, so the Gumbel
+    // transform is finite for every id in both engines
+    val u = (conv(substring(md5(concat(lit(salt),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("double") +
+      lit(0.5)) / lit(4294967296.0)
+    // the Gumbel term is rounded to 6 dp and added as DECIMAL: engines
+    // disagree on ln() by 1 ulp (libm vs java.lang.Math), which the raw
+    // double sum would carry into the score's last bit
+    val g = round(-log(-log(u)), 6).cast("decimal(18,6)")
+    raw.select(id.as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("slw").cast("double"), lit(0.0)).as("logw"),
+        (coalesce(col("slw"), lit(0).cast("decimal(18,6)")) + g)
+          .cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
   /** CCNet-style LM quality score (Wenzek et al. 2020 §4.2 rank documents
     * by language-model perplexity; the KenLM slot). The model here is an
     * add-k-smoothed word-BIGRAM LM trained on the corpus itself — no

@@ -340,6 +340,62 @@ class CorpusSpec extends SparkSpecBase {
       s"eval-gram probe must be a broadcast semi join:\n$plan")
   }
 
+  test("piiRedact: typed placeholders, per-category attribution") {
+    val docs = Seq(
+      (1L, "write to a.b@c.de or ops@x-corp.io from 192.168.0.1"),
+      (2L, "call 555-123-4567 twice 555-123-4567"),
+      (3L, "no pii here at all"),
+      // an @ before a numeric host is NOT an email (the pattern demands an
+      // alphabetic TLD — no PII regex treats raw IPs as mail hosts); both
+      // dotted quads redact as IPs instead
+      (4L, "root@10.0.0.1 then 10.0.0.2")).toDF("doc_id", "text")
+    val got = Corpus.piiRedact(docs, col("doc_id"), col("text"))
+      .select("doc_id", "n_email", "n_ip", "n_phone", "clean_text")
+      .as[(Long, Int, Int, Int, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2, 1, 0,
+      "write to |||EMAIL||| or |||EMAIL||| from |||IP|||")))
+    assert(got(2L) == ((2L, 0, 0, 2,
+      "call |||PHONE||| twice |||PHONE|||")))
+    assert(got(3L) == ((3L, 0, 0, 0, "no pii here at all")))
+    assert(got(4L) == ((4L, 0, 2, 0, "root@|||IP||| then |||IP|||")))
+  }
+
+  test("piiRedact: map-only plan — no exchange, stays in codegen") {
+    val plan = Corpus.piiRedact(docs, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"PII redaction must not shuffle:\n$plan")
+  }
+
+  test("dsirSample: hand-computed importance weights") {
+    // raw: x appears 2x (doc 1), y once (doc 2); target: x once.
+    // vocab = {x,y}, nr = 3, nt = 1, k = 0.5:
+    //   lw(x) = round(ln(1.5/2),6) - round(ln(2.5/4),6)  = 0.182322
+    //   lw(y) = round(ln(0.5/2),6) - round(ln(1.5/4),6)  = -0.405465
+    val raw = Seq((1L, "x x"), (2L, "y")).toDF("doc_id", "text")
+    val target = Seq((100L, "x")).toDF("doc_id", "text")
+    val got = Corpus.dsirSample(raw, col("doc_id"), col("text"),
+        target, col("text"), topK = 2, salt = "t")
+      .select("doc_id", "logw").as[(Long, Double)].collect().toMap
+    assert(math.abs(got(1L) - 0.364644) < 1e-9, s"doc1 logw ${got(1L)}")
+    assert(math.abs(got(2L) + 0.405465) < 1e-9, s"doc2 logw ${got(2L)}")
+  }
+
+  test("dsirSample: deterministic across layouts, topK bound, target bias") {
+    val target = docs.filter(col("doc_id") % 7 === 0)
+    val raw = docs.filter(col("doc_id") % 7 =!= 0)
+    val a = Corpus.dsirSample(raw.repartition(1), col("doc_id"),
+        col("text"), target, col("text"), topK = 5, salt = "s")
+      .collect().map(_.toSeq).toSeq
+    val b = Corpus.dsirSample(raw.repartition(13, col("doc_id")),
+        col("doc_id"), col("text"), target, col("text"), topK = 5,
+        salt = "s")
+      .collect().map(_.toSeq).toSeq
+    assert(a == b, "digest scoring must not depend on partition layout")
+    assert(a.size == 5)
+  }
+
   test("decontaminate composes with a streaming source via foreachBatch") {
     // decontaminate's exact two-pass shape (matched ids -> anti join) is a
     // stream-STREAM anti join if applied to a streaming frame directly,
