@@ -1339,6 +1339,12 @@ object SparkEntry {
           Corpus.hashUniform(col("doc_id"), "ep"), out = "pos")
         .select(col("doc_id"), col("pos"))),
 
+    // BPE pair statistics (Sennrich et al. 2016) — the distributed core
+    // of tokenizer training: corpus-wide adjacent-char pair counts inside
+    // words, top-100 with deterministic tie-break.
+    "bpe_pairs" -> ((s, d) =>
+      Corpus.bpePairCounts(T(s, d, "documents"), col("text"), topK = 100)),
+
     // PII redaction (Dolma/RefinedWeb scrubbing stage): emails, IPv4s,
     // phone numbers → typed placeholders + per-category counts. The
     // synthetic corpus has no natural PII, so the query PLANTS it
@@ -2841,6 +2847,15 @@ object SparkEntry {
         |              / len(tr.grams), 6)
         |  END AS overlap_frac
         |FROM tr LEFT JOIN hit ON tr.doc_id = hit.doc_id""".stripMargin,
+
+    "bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(trim(text), ' ')) AS w
+        |           FROM documents WHERE length(trim(text)) > 0),
+        | p AS (SELECT unnest(list_transform(range(1, length(w)),
+        |                i -> substr(w, i, 2))) AS pair
+        |       FROM w WHERE length(w) >= 2)
+        |SELECT pair, count(*) AS n FROM p GROUP BY 1
+        |ORDER BY n DESC, pair ASC LIMIT 100""".stripMargin,
 
     "pii_redact" ->
       """WITH planted AS (SELECT doc_id, text ||

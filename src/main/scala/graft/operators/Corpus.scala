@@ -538,6 +538,37 @@ object Corpus {
             col("n_overlap").cast("double") / col("n_grams"), 6)))
   }
 
+  /** BPE pair statistics — the distributed core of tokenizer training
+    * (Sennrich et al. 2016): count adjacent symbol pairs inside words
+    * across the whole corpus and return the top-K by frequency. Every BPE
+    * training iteration is exactly this statistic (find the most frequent
+    * pair, merge it, recount); the merge loop is a cheap driver iteration
+    * over top-1 results, while THIS — the corpus-wide pair count — is the
+    * part that must distribute at 100 TB.
+    *
+    * Scale shape: per-word pair expansion is pure codegen column algebra
+    * (sequence → substring → filter; one row fans out to ~word-length
+    * rows, no UDF), the count is a map-side-combinable groupBy on the
+    * 2-char pair key (≤ alphabet² distinct keys — the reduce side is
+    * trivially bounded no matter the corpus size), and the top-K is
+    * Spark's per-partition partial TakeOrderedAndProject, never a global
+    * sort. Tie-break on the pair string keeps the K-boundary
+    * deterministic in both engines. */
+  def bpePairCounts(docs: DataFrame, text: Column, topK: Int): DataFrame = {
+    require(topK > 0, "need topK > 0")
+    docs.select(explode(TextFunctions.tokens(text)).as("w"))
+      // greatest(...,1) keeps sequence() ascending for 1-char words
+      // (sequence(1,0) is DESCENDING in Spark); the length-2 filter then
+      // drops the short tail pair those words would contribute
+      .select(explode(expr(
+        """filter(transform(sequence(1, greatest(length(w) - 1, 1)),
+          |              i -> substring(w, i, 2)),
+          |       p -> length(p) = 2)""".stripMargin)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(topK)
+  }
+
   /** PII redaction (the Dolma / RefinedWeb scrubbing stage): replace
     * email addresses, IPv4 addresses, and NNN-NNN-NNNN phone numbers with
     * typed placeholder tokens (Dolma's `|||EMAIL_ADDRESS|||` convention),

@@ -340,6 +340,23 @@ class CorpusSpec extends SparkSpecBase {
       s"eval-gram probe must be a broadcast semi join:\n$plan")
   }
 
+  test("bpePairCounts: hand-computed counts, tie-break, 1-char words") {
+    // "abab" -> ab, ba, ab; "ab" -> ab; "x" -> nothing (1-char word);
+    // "ba" -> ba. Totals: ab=3, ba=2. Tie-break: "zz zz" adds zz=2,
+    // which must sort AFTER ba at equal count (pair asc).
+    val docs = Seq("abab ab x", "ba zz zz").toDF("text")
+    val got = Corpus.bpePairCounts(docs, col("text"), topK = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("ab", 3L), ("ba", 2L), ("zz", 2L)))
+  }
+
+  test("bpePairCounts: top-K is a partial top-K, not a global sort") {
+    val plan = Corpus.bpePairCounts(docs, col("text"), topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K must be TakeOrderedAndProject:\n$plan")
+  }
+
   test("piiRedact: typed placeholders, per-category attribution") {
     val docs = Seq(
       (1L, "write to a.b@c.de or ops@x-corp.io from 192.168.0.1"),
