@@ -608,9 +608,12 @@ object SparkEntry {
               org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")),
             map(lit("type"), col("event_type")))).as(Seq("key", "val")))),
 
-    // PII-style masking: digit runs redacted + counted (the corpus-prep
-    // scrub pass); all codegen'd regexp column ops.
-    "pii_redact" -> ((s, d) =>
+    // Digit-run masking: numeric runs redacted + counted (the generic
+    // log-scrub pass; the typed PII stage is `pii_redact`); all codegen'd
+    // regexp column ops. (r10: renamed from `pii_redact` when the
+    // Dolma-style typed redaction took that name — the duplicate Map key
+    // was silently shadowing this entry.)
+    "mask_digits" -> ((s, d) =>
       T(s, d, "events").filter(col("event_id") % 17 === 0)
         .select(col("event_id"),
           concat(col("event_type"), lit(" user="), col("user_id"),
@@ -2265,7 +2268,7 @@ object SparkEntry {
         |SELECT event_id, 'type', event_type
         |FROM events WHERE event_id % 13 = 0""".stripMargin,
 
-    "pii_redact" ->
+    "mask_digits" ->
       """WITH m AS (SELECT event_id,
         |   event_type || ' user=' || CAST(user_id AS VARCHAR)
         |     || ' props=' || props AS msg
