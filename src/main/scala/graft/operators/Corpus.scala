@@ -619,7 +619,11 @@ object Corpus {
     * groupBys; scoring joins the raw token stream on the word key (Zipf
     * skew is AQE's skew-join case); corpus sizes and the joint vocabulary
     * ride in as ONE broadcast row; the top-K is Spark's per-partition
-    * partial top-K (TakeOrderedAndProject), never a global sort. */
+    * partial top-K (TakeOrderedAndProject), never a global sort. The raw
+    * frame is read twice — once exploded to tokens, once ids-only for the
+    * unscored-doc join-back — but the second scan column-prunes to the id
+    * (parquet reads one column), so the extra pass is noise next to the
+    * token explode. */
   def dsirSample(raw: DataFrame, id: Column, text: Column,
                  target: DataFrame, targetText: Column,
                  topK: Int, k: Double = 0.5,
