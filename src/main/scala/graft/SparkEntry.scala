@@ -2799,12 +2799,17 @@ object SparkEntry {
         |       AS DECIMAL(18,6)) AS lp
         |   FROM b JOIN bc USING (w1, w2) JOIN lc USING (w1) CROSS JOIN v),
         | agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS slp
-        |         FROM scored GROUP BY 1)
+        |         FROM scored GROUP BY 1),
+        | a6 AS (SELECT doc_id, n_bigrams,
+        |     CASE WHEN slp < 0 THEN -1 ELSE 1 END
+        |       * ((2 * abs(CAST(slp * 1000000 AS BIGINT)) + n_bigrams)
+        |          // (2 * n_bigrams)) AS avg6
+        |   FROM agg)
         |SELECT t.doc_id,
-        | coalesce(agg.n_bigrams, 0) AS n_bigrams,
-        | round(CAST(agg.slp AS DOUBLE) / agg.n_bigrams, 6) AS avg_logp,
-        | round(exp(-(CAST(agg.slp AS DOUBLE) / agg.n_bigrams)), 4) AS ppl
-        |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""".stripMargin,
+        | coalesce(a6.n_bigrams, 0) AS n_bigrams,
+        | CAST(a6.avg6 AS DOUBLE) / 1000000 AS avg_logp,
+        | round(exp(-(CAST(a6.avg6 AS DOUBLE) / 1000000)), 4) AS ppl
+        |FROM t LEFT JOIN a6 ON t.doc_id = a6.doc_id""".stripMargin,
 
     "ccnet_bucket" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
@@ -2823,7 +2828,9 @@ object SparkEntry {
         | agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS slp
         |         FROM scored GROUP BY 1),
         | ppl AS (SELECT doc_id,
-        |     round(exp(-(CAST(slp AS DOUBLE) / n_bigrams)), 4) AS ppl
+        |     round(exp(-(CAST(CASE WHEN slp < 0 THEN -1 ELSE 1 END
+        |       * ((2 * abs(CAST(slp * 1000000 AS BIGINT)) + n_bigrams)
+        |          // (2 * n_bigrams)) AS DOUBLE) / 1000000)), 4) AS ppl
         |   FROM agg)
         |SELECT doc_id, ppl,
         |  CASE ntile(3) OVER (ORDER BY ppl, doc_id)

@@ -711,14 +711,34 @@ object Corpus {
           6).cast("decimal(18,6)").as("lp"))
     val perDoc = scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
-    val avg = col("slp").cast("double") / col("n_bigrams")
+      // slp is an exact integer at scale 6; avg_logp must NOT be
+      // round(double-quotient, 6): whenever n_bigrams divides the scale-6
+      // sum to an exact half (n=2 and odd slp6 does it EVERY time) the
+      // quotient sits on the .5 rounding boundary and the two engines'
+      // double-round implementations disagree on which side the binary
+      // representation falls (caught at sf100: one doc in 5M flipped the
+      // 6th decimal). halfUpAvg6 rounds the exact RATIONAL slp6/n in
+      // integer arithmetic instead — order-independent and engine-exact.
+      .withColumn("slp6", (col("slp") * lit(1000000)).cast("long"))
+      .withColumn("avg6", halfUpAvg6("slp6", "n_bigrams"))
+    val avg = col("avg6").cast("double") / lit(1000000.0)
     base.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        round(avg, 6).as("avg_logp"),
+        avg.as("avg_logp"),
         round(exp(-avg), 4).as("ppl"))
   }
+
+  /** Exact half-up rounding of the rational `slp6 / n` to an integer,
+    * in pure int64 arithmetic: q = (2·|slp6| + n) div (2n), sign restored.
+    * Equivalent to rounding the true quotient half-away-from-zero at the
+    * 6-dp scale slp6 carries — with no double anywhere, so no engine can
+    * disagree about a boundary. */
+  private[graft] def halfUpAvg6(slp6: String, n: String): Column =
+    expr(s"""CASE WHEN $slp6 IS NULL OR $n IS NULL OR $n = 0 THEN NULL
+             ELSE (CASE WHEN $slp6 < 0 THEN -1L ELSE 1L END)
+                  * ((abs($slp6) * 2 + $n) div ($n * 2)) END""")
 
   /** CCNet-style boilerplate removal (Wenzek et al. 2020 §4.1 dedup the
     * corpus at PARAGRAPH granularity; Penedo et al. 2023 RefinedWeb run

@@ -468,6 +468,22 @@ class CorpusSpec extends SparkSpecBase {
     assert(r(2)._3.isEmpty && r(3)._3.isEmpty)
   }
 
+  test("halfUpAvg6: exact rational rounding at the .5 boundary") {
+    // n=2 with odd slp6 puts the true quotient EXACTLY on the .5
+    // rounding boundary — the case where round(double-quotient, 6)
+    // diverges between engines (caught at sf100). Integer half-up must
+    // round away from zero, both signs, deterministically.
+    val rows = Seq((-3L, 2L), (3L, 2L), (-5L, 2L), (-1109489L, 2L),
+      (7L, 3L), (-554744L, 3L)).toDF("slp6", "n")
+    val got = rows.select(Corpus.halfUpAvg6("slp6", "n").as("q"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(-2L, 2L, -3L, -554745L, 2L, -184915L))
+    val nulls = Seq((Some(3L), None), (None, Some(2L)), (Some(3L), Some(0L)))
+      .toDF("slp6", "n")
+      .select(Corpus.halfUpAvg6("slp6", "n")).collect()
+    assert(nulls.forall(_.isNullAt(0)))
+  }
+
   test("lmPerplexity ranks repetitive text as more probable than rare text") {
     // under a corpus-trained LM, the high-frequency pattern gets lower
     // perplexity than the one-off word salad
