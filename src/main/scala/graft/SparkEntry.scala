@@ -31,6 +31,51 @@ object SparkEntry {
   private def tss(c: Column): Column =
     date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
 
+  /** The synthetic corpus has no URL column, so the url_filter /
+    * domain_stats queries PLANT one deterministically from doc_id (the
+    * pii_redact device): seven hosts covering the suffix-match logic
+    * classes — a blocked subdomain, an exactly-blocked host, a blocked
+    * registrable domain's subdomain, a near-miss (`notbadsite.io` must
+    * NOT match `badsite.io`), an unblocked sibling subdomain, plus
+    * userinfo@ and :port forms to exercise the host parse. The oracle
+    * replays the same planting. */
+  private def plantedUrlDocs(docs: DataFrame): DataFrame = {
+    val m = col("doc_id") % 7
+    val host = when(m === 0, "ads.tracker.example.com")
+      .when(m === 1, "en.wikipedia.org")
+      .when(m === 2, "blog.example.net")
+      .when(m === 3, "spam.example.net")
+      .when(m === 4, "cdn.badsite.io")
+      .when(m === 5, "notbadsite.io")
+      .otherwise("docs.example.com")
+    docs.withColumn("url", concat(lit("https://"),
+      when(m === 6, "u:pw@").otherwise(""),
+      host,
+      when(m === 2, ":8080").otherwise(""),
+      lit("/p/"), col("doc_id").cast("string")))
+  }
+
+  /** Blocklist for the url_filter query (registrable-domain semantics;
+    * the mixed-case entry pins the list-side lower() normalization). */
+  private val urlBlocklist =
+    Seq("Tracker.example.com", "spam.example.net", "badsite.io")
+
+  /** DuckDB mirror of [[plantedUrlDocs]]. */
+  private val plantedUrlSql =
+    """SELECT doc_id, text, 'https://' ||
+      |   CASE WHEN doc_id % 7 = 6 THEN 'u:pw@' ELSE '' END ||
+      |   CASE doc_id % 7
+      |     WHEN 0 THEN 'ads.tracker.example.com'
+      |     WHEN 1 THEN 'en.wikipedia.org'
+      |     WHEN 2 THEN 'blog.example.net'
+      |     WHEN 3 THEN 'spam.example.net'
+      |     WHEN 4 THEN 'cdn.badsite.io'
+      |     WHEN 5 THEN 'notbadsite.io'
+      |     ELSE 'docs.example.com' END ||
+      |   CASE WHEN doc_id % 7 = 2 THEN ':8080' ELSE '' END ||
+      |   '/p/' || CAST(doc_id AS VARCHAR) AS url
+      | FROM documents""".stripMargin
+
   /** Exact cosine via SQL higher-order folds — an execution path
     * INDEPENDENT of the codegen CosineSimilarity kernel; the partial-oracle
     * invariant queries use it to cross-check reported scores (interpreted
@@ -1277,9 +1322,15 @@ object SparkEntry {
     // n-grams broadcast; training text never shuffles — matched ids only.
     // (n=4 instead of the canonical 13 because the synthetic corpus'
     // ~40-word vocabulary makes longer grams collision-free.)
+    // r11: routed through decontaminateAuto — the measured gram count
+    // (the same bounded eval-side action the Bloom path pays for sketch
+    // sizing) picks the branch, so no caller rides the exact broadcast
+    // into the 10⁸-gram regime it can't survive. At driver SFs the count
+    // sits under the default 2²⁰ threshold → the EXACT broadcast branch,
+    // so this query's output and oracle are unchanged.
     "decontaminate" -> ((s, d) => {
       val docs = T(s, d, "documents")
-      Corpus.decontaminate(
+      Corpus.decontaminateAuto(
           docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
           docs.filter(col("doc_id") % 97 === 0), col("text"), n = 4)
         .select(col("doc_id"), col("lang"))
@@ -1347,6 +1398,48 @@ object SparkEntry {
     // words, top-100 with deterministic tie-break.
     "bpe_pairs" -> ((s, d) =>
       Corpus.bpePairCounts(T(s, d, "documents"), col("text"), topK = 100)),
+
+    // BPE tokenizer TRAINING (Sennrich et al. 2016) — the full iterative
+    // merge loop over the corpus-collapsed (word, freq) vocabulary: 10
+    // ranked merges, each chosen by exact weighted pair count with the
+    // pair-key tie-break. The oracle replays the identical loop as 10
+    // unrolled CTE stages (same symbol-string encoding, same literal
+    // left-to-right replace).
+    "bpe_train" -> ((s, d) =>
+      Corpus.bpeTrain(T(s, d, "documents"), col("text"), numMerges = 10)),
+
+    // BPE tokenizer APPLICATION: encode every document with the merge
+    // table trained on the same corpus (rank-order replace passes, word-
+    // local by the symbol-string construction). Output is per-doc BPE
+    // token count + md5 of the full symbol sequence, so the hash compare
+    // verifies every merge landed at every position of every document.
+    "bpe_encode" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val merges = Corpus.bpeTrain(docs, col("text"), numMerges = 10)
+        .orderBy(col("rank"))
+        .collect() // ≤ numMerges rows — the tokenizer artifact, driver-sized
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Corpus.bpeEncode(docs, col("doc_id"), col("text"), merges)
+    }),
+
+    // URL/domain filtering (RefinedWeb §3.1): drop every doc whose URL
+    // host is or sits under a blocklisted domain — exact suffix-set
+    // equi-join, never substring (the notbadsite.io case pins that).
+    // Blocklist broadcast under the measured-count threshold; Bloom-gated
+    // above it (urlFilter routes like decontaminateAuto).
+    "url_filter" -> ((s, d) => {
+      import s.implicits._
+      val docs = plantedUrlDocs(T(s, d, "documents"))
+      Corpus.urlFilter(docs, col("doc_id"), col("url"),
+          urlBlocklist.toDF("domain"), col("domain"), mode = "deny")
+        .select(col("doc_id"), Corpus.urlHost(col("url")).as("domain"))
+    }),
+
+    // Per-domain curation report: doc counts + byte mass by URL host —
+    // one map-side-combinable agg keyed by host, text never shuffles.
+    "domain_stats" -> ((s, d) =>
+      Corpus.domainStats(plantedUrlDocs(T(s, d, "documents")),
+        col("url"), col("text"))),
 
     // PII redaction (Dolma/RefinedWeb scrubbing stage): emails, IPv4s,
     // phone numbers → typed placeholders + per-category counts. The
@@ -1475,12 +1568,15 @@ object SparkEntry {
     // the exact semi-join kills those), so the oracle is the identical SQL.
     // fpp = 0.25 on purpose: a sloppy filter stresses the FP-kill path —
     // at the default 1% the join would see almost no junk to reject.
+    // r11: also via decontaminateAuto, with maxBroadcastGrams = 0 forcing
+    // the SKETCH branch at every SF — both mechanisms stay end-to-end
+    // executed and hash-compared against the same exact-semantics oracle.
     "decontaminate_bloom" -> ((s, d) => {
       val docs = T(s, d, "documents")
-      Corpus.decontaminateBloom(
+      Corpus.decontaminateAuto(
           docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
           docs.filter(col("doc_id") % 97 === 0), col("text"), n = 4,
-          fpp = 0.25)
+          fpp = 0.25, maxBroadcastGrams = 0L)
         .select(col("doc_id"), col("lang"))
     }),
 
@@ -1912,6 +2008,41 @@ object SparkEntry {
     * score) and DuckDB pins the expected constant-TRUE rows — any
     * violated invariant hash-mismatches. Each is additionally pinned by
     * known-answer or property specs. */
+  /** The BPE training loop unrolled as DuckDB CTE stages (no trailing
+    * SELECT): `w` collapses the corpus to (word, freq), `v0` encodes each
+    * word as the boundary-padded double-space symbol string, and each
+    * stage `m$i` picks the globally best pair (weighted count, pair-key
+    * tie-break) while `v${i+1}` applies it with the identical literal
+    * left-to-right replace the engine uses. A recursive CTE can't carry
+    * the per-iteration aggregate in DuckDB's dialect, but the merge count
+    * is a compile-time constant, so unrolling IS the loop. Degenerate
+    * corpora stay consistent: an empty `m$i` makes every later stage
+    * empty via NULL propagation, matching the engine's early stop. */
+  private def bpeTrainCtes(k: Int): String = {
+    // every stage is AS MATERIALIZED: DuckDB inlines CTEs by default, and
+    // each v-stage is referenced twice (its m-stage and the next v-stage),
+    // so inlining expands the base scan 2^k times — materialization makes
+    // the unrolled loop linear, like the engine's persisted vocab frame
+    val stages = (0 until k).map { i =>
+      s"""m$i AS MATERIALIZED (SELECT pair, sum(freq) AS n FROM (
+         |   SELECT freq, unnest(list_transform(generate_series(1, len(s) - 1),
+         |            j -> s[j] || '  ' || s[j+1])) AS pair
+         |   FROM (SELECT freq, string_split_regex(trim(p), ' +') AS s
+         |         FROM v$i))
+         | GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1),
+         |v${i + 1} AS MATERIALIZED (SELECT freq, replace(p,
+         |   ' ' || (SELECT pair FROM m$i) || ' ',
+         |   ' ' || replace((SELECT pair FROM m$i), '  ', '') || ' ') AS p
+         | FROM v$i)""".stripMargin
+    }
+    s"""WITH w AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(string_split_regex(trim(text), ' +')) AS w
+       |    FROM documents WHERE length(trim(text)) > 0) GROUP BY w),
+       | v0 AS MATERIALIZED (SELECT freq,
+       |   ' ' || regexp_replace(w, '(\\S)', '\\1  ', 'g') AS p FROM w),
+       |${stages.mkString(",\n")}""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "kafka_wire_roundtrip" ->
@@ -2866,6 +2997,58 @@ object SparkEntry {
         |       FROM w WHERE length(w) >= 2)
         |SELECT pair, count(*) AS n FROM p GROUP BY 1
         |ORDER BY n DESC, pair ASC LIMIT 100""".stripMargin,
+
+    "bpe_train" -> (bpeTrainCtes(10) + "\n" +
+      (0 until 10).map(i =>
+        s"""SELECT CAST(${i + 1} AS INT) AS rank,
+           | split_part(pair, '  ', 1) AS p1,
+           | split_part(pair, '  ', 2) AS p2,
+           | replace(pair, '  ', '') AS merged, n AS freq
+           |FROM m$i""".stripMargin).mkString("\nUNION ALL\n")),
+
+    "bpe_encode" -> (bpeTrainCtes(10) + ",\n" +
+      s"""enc AS (SELECT doc_id, trim(regexp_replace(
+         |    ${(0 until 10).foldLeft(
+               "' ' || regexp_replace(trim(text), '(\\S)', '\\1  ', 'g')") {
+               case (acc, i) =>
+                 // no stripMargin here: the caller strips the COMBINED
+                 // string, and a second pass would eat the line-leading
+                 // '||' operators as margin bars
+                 s"replace($acc,\n" +
+                   s"      coalesce(' ' || (SELECT pair FROM m$i) || ' ', chr(1)),\n" +
+                   s"      coalesce(' ' || replace((SELECT pair FROM m$i), " +
+                   s"'  ', '') || ' ', chr(1)))"
+             }},
+         |    ' +', ' ', 'g')) AS syms, text FROM documents)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(string_split(syms, ' ')) END AS BIGINT) AS n_tok_bpe,
+         |  md5(syms) AS syms_md5
+         |FROM enc""".stripMargin),
+
+    "url_filter" ->
+      s"""WITH d AS ($plantedUrlSql),
+         | h AS (SELECT doc_id, lower(regexp_extract(url,
+         |   '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+).*', 1))
+         |   AS host FROM d),
+         | sfx AS (SELECT doc_id, unnest(list_transform(
+         |     generate_series(1, len(string_split(host, '.'))),
+         |     i -> array_to_string(string_split(host, '.')[i:], '.')))
+         |   AS dom FROM h),
+         | bl AS (SELECT lower(dom) AS dom FROM (VALUES
+         |   ${urlBlocklist.map(x => s"('$x')").mkString(", ")}) t(dom)),
+         | bad AS (SELECT DISTINCT doc_id FROM sfx JOIN bl USING (dom))
+         |SELECT doc_id, host AS domain FROM h
+         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    "domain_stats" ->
+      s"""WITH d AS ($plantedUrlSql)
+         |SELECT lower(regexp_extract(url,
+         |    '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+).*', 1))
+         |    AS domain,
+         |  count(*) AS n_docs,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+         |FROM d GROUP BY 1""".stripMargin,
 
     "pii_redact" ->
       """WITH planted AS (SELECT doc_id, text ||

@@ -496,6 +496,62 @@ object Corpus {
     } finally evalGrams.unpersist()
   }
 
+  /** Auto-routed decontamination — the form callers should use at unknown
+    * scale: EXACT gram broadcast below `maxBroadcastGrams` distinct eval
+    * grams, the [[decontaminateBloom]] sketch path above it. The exact
+    * form's cliff is the broadcast itself: 13-gram strings run ~100-150 B
+    * each, so 10⁸ grams is tens of GB shipped to every executor — the
+    * r10 sf100 sweep measured the exact form at 148.1 s vs the Bloom
+    * twin's 55.4 s for identical output. The default threshold (2²⁰ ≈ 1M
+    * grams ≈ 100-150 MB) keeps the broadcast in torrent-comfortable
+    * territory; both branches return EXACTLY [[decontaminate]]'s rows at
+    * any fpp (one-sided Bloom error + exact semi-join), so routing can
+    * never change an answer, only a plan.
+    *
+    * The routing count is the same bounded eval-side action the Bloom
+    * path already pays to size its sketch (eval ≪ training by premise);
+    * the distinct-gram frame is persisted across count + probe exactly as
+    * in [[decontaminateBloom]], and the same post-unpersist lazy-replay
+    * note applies. */
+  def decontaminateAuto(train: DataFrame, id: Column, text: Column,
+                        eval: DataFrame, evalText: Column,
+                        n: Int = 13, fpp: Double = 0.01,
+                        maxBroadcastGrams: Long = 1L << 20): DataFrame = {
+    require(n > 0, "need n > 0")
+    require(fpp > 0.0 && fpp < 1.0, "need 0 < fpp < 1")
+    require(maxBroadcastGrams >= 0L, "need maxBroadcastGrams >= 0")
+    val evalGrams = eval
+      .select(explode(TextFunctions.wordNGrams(evalText, n)).as("__dc_g"))
+      .distinct()
+      .persist()
+    try {
+      val nGrams = evalGrams.count()
+      if (nGrams == 0L) return train
+      val contaminated =
+        if (nGrams <= maxBroadcastGrams) {
+          // exact branch: the gram frame is broadcast-small by measurement
+          train
+            .select(id.as("__dc_id"),
+              explode(TextFunctions.wordNGrams(text, n)).as("__dc_g"))
+            .join(broadcast(evalGrams), Seq("__dc_g"), "left_semi")
+            .select(col("__dc_id"))
+            .distinct()
+        } else {
+          // sketch branch: map-side Bloom probe, exact semi-join kills the
+          // false positives (identical output, decontaminateBloom's shape)
+          val bloom = evalGrams.stat.bloomFilter("__dc_g", nGrams, fpp)
+          train
+            .select(id.as("__dc_id"),
+              explode(TextFunctions.wordNGrams(text, n)).as("__dc_g"))
+            .filter(GraftFunctions.bloomMightContain(col("__dc_g"), bloom))
+            .join(evalGrams, Seq("__dc_g"), "left_semi")
+            .select(col("__dc_id"))
+            .distinct()
+        }
+      train.join(contaminated, id === col("__dc_id"), "left_anti")
+    } finally evalGrams.unpersist()
+  }
+
   /** Per-training-document contamination REPORT — the audit complement of
     * [[decontaminate]]: for each training doc, how many of its DISTINCT
     * word n-grams appear anywhere in the eval suite, and the fraction.
@@ -567,6 +623,165 @@ object Corpus {
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair").asc)
       .limit(topK)
+  }
+
+  /** A word's symbol sequence as ONE delimited string: symbols separated
+    * by exactly two spaces, one leading boundary space. `' a  b  c '`-style
+    * padding makes every merge a plain left-to-right literal `replace`:
+    * pattern `" p1  p2 "` → `" p1p2 "`. The boundary spaces pin whole-
+    * symbol matches (a symbol can never match a prefix/suffix of another),
+    * and because the match consumes ONE space of each flanking separator
+    * and the replacement restores it, the "two spaces between symbols"
+    * invariant survives every merge — so iterated replaces stay exact.
+    * Symbols never contain spaces (tokens are whitespace-split), so the
+    * encoding is unambiguous; both engines' `replace` scan left-to-right
+    * over non-overlapping occurrences, which IS the BPE merge rule.
+    * Built by one regex (`(\S)` → `$1␣␣`) restricted to the
+    * java.util.regex ∩ RE2 dialect so DuckDB replays the identical
+    * automaton; applied to multi-word text the word gaps become THREE
+    * spaces, which no `" p1  p2 "` pattern can straddle — merges stay
+    * word-local for free. */
+  private def bpeSymbolString(text: Column): Column =
+    concat(lit(" "), regexp_replace(text, "(\\S)", "$1  "))
+
+  /** One BPE merge as a literal string replace over a [[bpeSymbolString]]
+    * column. `pair` is the `"p1  p2"` pair key (double-space separator —
+    * unambiguous, and its lexicographic order equals (p1, p2) order since
+    * the space sorts below every symbol character). */
+  private def bpeApplyMerge(p: Column, pair: String): Column =
+    replace(p, lit(" " + pair + " "),
+      lit(" " + pair.replace("  ", "") + " "))
+
+  /** Adjacent symbol pairs of a [[bpeSymbolString]] column as `"p1  p2"`
+    * pair keys (one output row per adjacent position — overlapping
+    * occurrences count, the Sennrich statistic). */
+  private def bpePairKeys(p: Column): Column = {
+    // arrays_zip of two shifted slices, NOT element_at(s, i) inside the
+    // lambda: a lambda re-evaluates enclosed subtrees once per element
+    // (the wordNGrams note), which would re-split the symbol string
+    // quadratically per word
+    val s = split(trim(p), " +")
+    val len = size(s) - 1
+    val zipped = arrays_zip(slice(s, lit(1), len), slice(s, lit(2), len))
+    when(size(s) < 2, array().cast("array<string>")).otherwise(
+      transform(zipped,
+        x => concat(x.getField("0"), lit("  "), x.getField("1"))))
+  }
+
+  /** BPE tokenizer TRAINING — the full iterative merge loop of Sennrich
+    * et al. 2016 §3 (of which [[bpePairCounts]] is one iteration's
+    * statistic): collapse the corpus to a (word, freq) vocabulary, then
+    * `numMerges` times find the globally most frequent adjacent symbol
+    * pair and merge it everywhere. Returns the ranked merge table
+    * (rank, p1, p2, merged, freq) — the artifact a tokenizer ships.
+    *
+    * Scale shape: the corpus collapses ONCE to the vocabulary table
+    * (Heaps' law: orders of magnitude smaller than the corpus — the only
+    * corpus-sized scan in the whole loop), persisted and iterated. Each
+    * iteration is (a) a map-side-combinable pair count over the vocab
+    * frame — pair keys are bounded by the symbol-pair vocabulary, so the
+    * reduce side never grows with data — feeding a 1-row top-1 action,
+    * and (b) a map-only literal-replace projection. The merge choice is
+    * driver-coordinated (one scalar per iteration — the loop is
+    * inherently sequential, each merge depends on the last), executors do
+    * all counting. Lineage is one thin projection per merge and is cut by
+    * an eager localCheckpoint every [[bpeCheckpointEvery]] merges, so a
+    * real 30k-merge training run keeps constant-depth plans (the
+    * connectedComponents device) while short runs never pay a checkpoint.
+    *
+    * Determinism: exact integer counts, ties broken on the pair key
+    * (≡ (p1, p2) lexicographic), and the merge application is a literal
+    * left-to-right replace — bit-identical across engines, partitionings,
+    * and retries. Stops early (fewer rows) when no pair remains. */
+  def bpeTrain(docs: DataFrame, text: Column, numMerges: Int): DataFrame = {
+    require(numMerges > 0, "need numMerges > 0")
+    val spark = docs.sparkSession
+    val vocab0 = docs
+      .select(explode(TextFunctions.tokens(text)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), bpeSymbolString(col("w")).as("p"))
+    // ONE anchored base + a short stack of lazy map-only projections on
+    // top of it, cut eagerly every bpeCheckpointEvery merges. Persisting
+    // EVERY iteration's frame instead (the obvious formulation) nests k
+    // InMemoryRelations, and plan rendering of that chain (AQE logs an
+    // explainString per executed query, recursing through every cached
+    // inner plan) grows super-linearly — measured OOM-ing an 8 GB driver
+    // before merge 40 on a ONE-ROW vocabulary. Re-running ≤ cadence
+    // literal replaces over the cached base per iteration is noise by
+    // comparison at any vocabulary size.
+    var base = vocab0.persist()
+    var vocab = base
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    try {
+      var k = 0
+      var steps = 0
+      var done = false
+      while (k < numMerges && !done) {
+        val best = vocab
+          .select(col("freq"), explode(bpePairKeys(col("p"))).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+          .orderBy(col("n").desc, col("pair").asc)
+          .limit(1).collect()
+        if (best.isEmpty) done = true
+        else {
+          val pair = best.head.getString(0)
+          val n = best.head.getLong(1)
+          val Array(p1, p2) = pair.split("  ", 2)
+          merges += ((k + 1, p1, p2, p1 + p2, n))
+          if (k + 1 < numMerges) { // last merge needs no vocab rewrite
+            vocab = vocab
+              .select(col("freq"), bpeApplyMerge(col("p"), pair).as("p"))
+            steps += 1
+            if (steps >= bpeCheckpointEvery) {
+              val next = vocab.localCheckpoint() // eager: flat plan after
+              base.unpersist()
+              base = next
+              vocab = next
+              steps = 0
+            }
+          }
+        }
+        k += 1
+      }
+    } finally base.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "p1", "p2", "merged", "freq")
+  }
+
+  /** Lineage-cut cadence for [[bpeTrain]]'s iterated vocab frame: long
+    * merge runs checkpoint every this-many iterations so plan depth stays
+    * bounded; runs shorter than this never pay one. */
+  private[operators] val bpeCheckpointEvery = 32
+
+  /** BPE tokenizer APPLICATION: encode every document with a learned
+    * merge list (`(p1, p2)` in rank order, from [[bpeTrain]]'s output),
+    * returning per document the BPE token count and an md5 of the
+    * space-joined symbol sequence (full-sequence verification without
+    * shipping bodies). Semantics: each merge is applied corpus-wide as
+    * one left-to-right replace pass, in rank order — exactly the
+    * training-time rule, so encoding the training corpus reproduces
+    * training's final state.
+    *
+    * Scale shape: map-only — the merge list folds into ONE composed
+    * codegen projection (numMerges nested literal replaces over the
+    * symbol string; no join, no shuffle, no UDF), so the whole encode is
+    * a single pass over the bytes at scan parallelism. Word boundaries
+    * are the [[bpeSymbolString]] triple-space gaps, so no merge ever
+    * crosses a word — the merge list broadcast is the CLOSURE, a few KB
+    * for real vocabularies. */
+  def bpeEncode(docs: DataFrame, id: Column, text: Column,
+                merges: Seq[(String, String)]): DataFrame = {
+    val sym0 = bpeSymbolString(trim(text))
+    val enc = merges.foldLeft(sym0) { case (p, (p1, p2)) =>
+      bpeApplyMerge(p, p1 + "  " + p2)
+    }
+    val norm = trim(regexp_replace(enc, " +", " "))
+    docs.select(id.as("doc_id"),
+      when(length(trim(text)) === 0, lit(0L))
+        .otherwise(size(split(norm, " ")).cast("long")).as("n_tok_bpe"),
+      md5(norm).as("syms_md5"))
   }
 
   /** PII redaction (the Dolma / RefinedWeb scrubbing stage): replace
@@ -811,6 +1026,83 @@ object Corpus {
       else Some(evalGrams.stat.bloomFilter("__dc_g", nGrams, fpp))
     new BloomDecontaminator(evalGrams, bloom, n)
   }
+
+  /** Lowercased host of a URL column, or '' when the string does not
+    * parse as a scheme://[userinfo@]host[:port][/…] URL. One regex in the
+    * java.util.regex ∩ RE2 dialect (no lookaround), so the DuckDB oracle
+    * replays the identical automaton; a Spark-only plan could use the
+    * builtin `parse_url` instead. Map-only, codegen'd. */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+).*", 1))
+
+  /** Domain-suffix set of a host: `a.b.c` → [a.b.c, b.c, c]. Blocklists
+    * name REGISTRABLE domains and must catch every subdomain, and
+    * substring/ends-with matching over-blocks (`notbadsite.io` ends with
+    * `badsite.io`): exploding the ≤ handful of label suffixes and
+    * EQUI-joining them against the list is the exact, linear, shuffle-
+    * friendly encoding of "host is-or-is-under domain". The transform
+    * lambda re-evaluates the enclosed split per element (interpreted-
+    * lambda rule), bounded here by the label count of one short host —
+    * not a corpus-scale term. */
+  def hostSuffixes(host: Column): Column = {
+    val labels = split(host, "\\.")
+    transform(sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, i, size(labels)), "."))
+  }
+
+  /** URL/domain filtering — the RefinedWeb §3.1 pre-filter: keep (`allow`)
+    * or drop (`deny`) every document whose URL host equals or sits under
+    * any domain in `domains`. Matching is the exact suffix-set equi-join
+    * of [[hostSuffixes]] — never a substring scan.
+    *
+    * Scale shape: the domain list collapses to distinct lowercased keys
+    * and is COUNTED once (the decontaminateAuto routing action — domain
+    * lists are small by nature, 10⁵-10⁷ rows): under
+    * `maxBroadcastDomains` it broadcasts into a map-side semi-join over
+    * the exploded suffixes (≤ ~6 rows per doc, no shuffle of doc text);
+    * above it, the suffixes probe a Bloom sketch map-side and only the
+    * surviving sliver reaches the exact semi-join — the
+    * [[decontaminateBloom]] machinery verbatim, same one-sided-error ⇒
+    * exact-output argument. Matched ids (tiny) anti/semi-join back. */
+  def urlFilter(docs: DataFrame, id: Column, url: Column,
+                domains: DataFrame, domain: Column,
+                mode: String = "deny", fpp: Double = 0.01,
+                maxBroadcastDomains: Long = 1L << 22): DataFrame = {
+    require(mode == "deny" || mode == "allow", "mode must be deny|allow")
+    require(fpp > 0.0 && fpp < 1.0, "need 0 < fpp < 1")
+    val dset = domains.select(lower(domain).as("__uf_d")).distinct().persist()
+    try {
+      val nDomains = dset.count()
+      val suffixes = docs.select(id.as("__uf_id"),
+        explode(hostSuffixes(urlHost(url))).as("__uf_d"))
+      val matched =
+        if (nDomains == 0L) suffixes.filter(lit(false)).select(col("__uf_id"))
+        else if (nDomains <= maxBroadcastDomains)
+          suffixes.join(broadcast(dset), Seq("__uf_d"), "left_semi")
+            .select(col("__uf_id")).distinct()
+        else {
+          val bloom = dset.stat.bloomFilter("__uf_d", nDomains, fpp)
+          suffixes
+            .filter(GraftFunctions.bloomMightContain(col("__uf_d"), bloom))
+            .join(dset, Seq("__uf_d"), "left_semi")
+            .select(col("__uf_id")).distinct()
+        }
+      docs.join(matched, id === col("__uf_id"),
+        if (mode == "deny") "left_anti" else "left_semi")
+    } finally dset.unpersist()
+  }
+
+  /** Per-domain curation report: document counts and byte mass by URL
+    * host — what a corpus team reads before writing the next blocklist.
+    * One map-side-combinable aggregation keyed by host (bounded by the
+    * web's domain count, not the corpus row count); text never shuffles,
+    * only (host, count, chars) partials. */
+  def domainStats(docs: DataFrame, url: Column, text: Column): DataFrame =
+    docs.select(urlHost(url).as("domain"),
+        length(text).cast("long").as("__ds_chars"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__ds_chars")).as("n_chars"))
 
   /** Split each document's token stream into fixed-size windows: one row
     * per (doc, chunk) with the chunk text, its token count, and the chunk

@@ -267,9 +267,11 @@ object Profile {
     * its own sketches) up to `maxCapacity`. When the failed attempt filled
     * all topN ranks it computes the EXACTLY sufficient retry capacity from
     * what it measured (N/kth + 1 — the observed rank-N count lower-bounds
-    * the true one), so a too-small guess costs one extra two-scan pass,
-    * not a doubling ladder; only the thin-candidates failure mode (fewer
-    * candidates than topN) still doubles blindly. Measured at sf100:
+    * the true one); in the thin-candidates mode (fewer candidates than
+    * topN) it measures the distinct token count with one HLL scan and
+    * jumps to D̃ × 1.15, where eviction is provably impossible. Either
+    * way a too-small guess costs one extra pass, not a doubling ladder
+    * (the loop keeps ×2 as the floor under both jumps). Measured at sf100:
     * 4096 → jump to 29485 in one retry (4 corpus scans total) vs the
     * doubling ladder's 4 attempts (8 scans). A distribution the CEILING can't prove
     * (truly flat vocabulary larger than maxCapacity) still refuses — the
@@ -293,8 +295,8 @@ object Profile {
             // top-N dominates any candidate top-N), so cap' = N/k + 1 gives
             // bound = floor(N/(cap'+1)) < k ≤ true k. Jumping there turns
             // the blind-doubling ladder (measured 4 attempts = 8 corpus
-            // scans at sf100) into exactly one retry; only the
-            // thin-candidates failure mode still doubles.
+            // scans at sf100) into exactly one retry; the thin-candidates
+            // mode computes its own jump from an HLL distinct count.
             val next = math.min(maxCapacity.toLong,
               math.max(cap.toLong * 2L,
                 sufficient.getOrElse(0L))).toInt
@@ -372,13 +374,25 @@ object Profile {
           // evicted token belongs in the unfilled ranks
           val covered = grouped.agg(coalesce(sum(col("cnt")), lit(0L)))
             .head().getLong(0)
-          if (covered != total)
+          if (covered != total) {
+            // Thin-candidates computed jump: eviction is IMPOSSIBLE once
+            // per-partition capacity ≥ the distinct token count D (the
+            // sketch then just counts exactly, candidates = vocabulary,
+            // covered == total). D is measurable in one extra bounded
+            // scan — an HLL sketch, paid only on this failure path — so
+            // jump to D̃ × 1.15 (3σ over the 5% rsd) instead of blind
+            // doubling; an HLL underestimate still falls back to the
+            // retry loop's ×2 floor.
+            val estD = toks
+              .agg(approx_count_distinct(col("token"), 0.05))
+              .head().getLong(0)
             return Left(Insufficient(
               s"heavyHitters: only ${rows.length} candidate tokens for " +
                 s"topN=$topN and they cover $covered of $total stream " +
                 s"tokens — the vocabulary is flat enough that the sketch " +
                 s"evicted real ranks; raise capacity (= $capacity)",
-              sufficient = None))
+              sufficient = Some(math.ceil(estD * 1.15).toLong)))
+          }
         }
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("token",

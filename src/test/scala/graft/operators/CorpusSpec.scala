@@ -642,6 +642,147 @@ class CorpusSpec extends SparkSpecBase {
     } finally dc.close()
   }
 
+  test("decontaminateAuto routes exact vs Bloom on the measured gram count") {
+    // eval = 100 docs × 8 distinct 3-grams (per-doc-unique vocabulary)
+    // = exactly 800 distinct grams; pin the routing threshold on both
+    // sides of that measurement
+    val eval = docs.filter(col("doc_id") % 10 === 0)
+    val nGrams = eval.select(explode(
+        graft.functions.TextFunctions.wordNGrams(col("text"), 3)).as("g"))
+      .distinct().count()
+    assert(nGrams == 800L, s"fixture drift: $nGrams grams")
+    val exact = Corpus.decontaminateAuto(docs, col("doc_id"), col("text"),
+      eval, col("text"), n = 3, maxBroadcastGrams = nGrams)
+    val bloom = Corpus.decontaminateAuto(docs, col("doc_id"), col("text"),
+      eval, col("text"), n = 3, maxBroadcastGrams = nGrams - 1)
+    // one gram under the measured count flips the plan to the sketch path
+    val pExact = exact.queryExecution.executedPlan.toString
+    val pBloom = bloom.queryExecution.executedPlan.toString
+    assert(!pExact.contains("bloommightcontain"),
+      s"at-threshold must take the exact broadcast branch:\n$pExact")
+    assert(pBloom.contains("bloommightcontain"),
+      s"below-threshold must take the sketch branch:\n$pBloom")
+    // routing can change the plan, never the answer
+    val a = exact.select("doc_id").as[Long].collect().toSet
+    val b = bloom.select("doc_id").as[Long].collect().toSet
+    assert(a == b && a.size == 900, s"branch outputs diverged: ${a.size}/${b.size}")
+  }
+
+  test("urlFilter: suffix semantics, allow mode, and the sketch route") {
+    val urls = Seq(
+      (1L, "https://ads.tracker.example.com/x"), // blocked: subdomain
+      (2L, "https://tracker.example.com/y"),     // blocked: exact
+      (3L, "https://notbadsite.io/z"),           // kept: suffix-set beats ends-with
+      (4L, "https://cdn.badsite.io/q"),          // blocked: under registrable
+      (5L, "https://docs.example.com/r"),        // kept: unblocked sibling
+      (6L, "http://u:p@BADSITE.IO:8080/s"),      // blocked: case/userinfo/port
+      (7L, "not a url")                          // kept: unparseable host
+    ).toDF("doc_id", "url")
+    val bl = Seq("tracker.example.com", "Badsite.io").toDF("d")
+    val kept = Corpus.urlFilter(urls, col("doc_id"), col("url"), bl, col("d"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 5L, 7L), kept.toString)
+    val allowed = Corpus.urlFilter(urls, col("doc_id"), col("url"), bl,
+        col("d"), mode = "allow")
+      .select("doc_id").as[Long].collect().toSet
+    assert(allowed == Set(1L, 2L, 4L, 6L), allowed.toString)
+    // above the broadcast threshold the list routes through the Bloom
+    // sketch — plan shape flips, output must not
+    val viaBloom = Corpus.urlFilter(urls, col("doc_id"), col("url"), bl,
+      col("d"), maxBroadcastDomains = 1L)
+    assert(viaBloom.queryExecution.executedPlan.toString
+      .contains("bloommightcontain"), "expected the sketch route")
+    assert(viaBloom.select("doc_id").as[Long].collect().toSet == kept)
+    // empty list: deny keeps everything, allow keeps nothing
+    val none = bl.filter(lit(false))
+    assert(Corpus.urlFilter(urls, col("doc_id"), col("url"), none,
+      col("d")).count() == 7)
+    assert(Corpus.urlFilter(urls, col("doc_id"), col("url"), none,
+      col("d"), mode = "allow").count() == 0)
+  }
+
+  // Sennrich et al. 2016's worked example: vocabulary low/lower/newest/
+  // widest. Hand-derived merge sequence with exact weighted counts and
+  // the pair-key tie-break at count 9 ("e s" vs "s t") and count 7
+  // ("l o" vs "o w").
+  private val bpeDocs = Seq(
+    (1L, "low low low low low"),
+    (2L, "lower lower"),
+    (3L, "newest newest newest newest newest newest"),
+    (4L, "widest widest widest")).toDF("doc_id", "text")
+
+  test("bpeTrain reproduces the hand-computed Sennrich merge sequence") {
+    val m = Corpus.bpeTrain(bpeDocs, col("text"), numMerges = 3)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(m == Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "l", "o", "lo", 7L)), m.toString)
+  }
+
+  test("bpeTrain is layout-stable and stops early when no pair remains") {
+    val a = Corpus.bpeTrain(bpeDocs, col("text"), 3).collect().toSeq
+    val b = Corpus.bpeTrain(bpeDocs.repartition(7), col("text"), 3)
+      .collect().toSeq
+    assert(a == b, "merge list must not depend on partitioning")
+    // all-single-char words: no pair exists, zero merges
+    val none = Corpus.bpeTrain(Seq((1L, "a b c")).toDF("doc_id", "text"),
+      col("text"), 5)
+    assert(none.count() == 0)
+    // one two-char word: exactly one merge possible
+    val one = Corpus.bpeTrain(Seq((1L, "ab")).toDF("doc_id", "text"),
+      col("text"), 5).as[(Int, String, String, String, Long)].collect()
+    assert(one.toSeq == Seq((1, "a", "b", "ab", 1L)))
+  }
+
+  test("bpeTrain long runs cross the lineage checkpoint cadence") {
+    // 45 distinct single-count chars: 40 merges all at freq 1, passing
+    // the localCheckpoint cut at merge 32 — result must stay exact
+    val word = ('a' to 'z').mkString + ('0' to '9').mkString +
+      ('A' to 'H').mkString
+    assert(word.length == 44)
+    val m = Corpus.bpeTrain(Seq((1L, word)).toDF("doc_id", "text"),
+      col("text"), numMerges = 40).collect()
+    assert(m.length == 40)
+    assert(m.forall(_.getLong(4) == 1L))
+    // first merge is the lexicographically smallest adjacent pair
+    assert(m.head.getString(1) == "0" && m.head.getString(2) == "1")
+  }
+
+  test("bpeEncode applies merges in rank order, word-locally") {
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"))
+    val enc = Corpus.bpeEncode(
+      Seq((1L, "low"), (2L, "newest"), (3L, "low newest"), (4L, ""),
+        (5L, "st"))
+        .toDF("doc_id", "text"), col("doc_id"), col("text"), merges)
+      .orderBy("doc_id")
+      .as[(Long, Long, String)].collect().toSeq
+    // low → [lo w]; newest → [n e w est]; "st": (e,s) can't fire, so
+    // (es,t) can't either — merges never cross word gaps or skip ranks
+    assert(enc.map(r => (r._1, r._2)) ==
+      Seq((1L, 2L), (2L, 4L), (3L, 6L), (4L, 0L), (5L, 2L)))
+    // the symbol-sequence digest pins the full sequence, not just counts
+    val md5lo = org.apache.commons.codec.digest.DigestUtils.md5Hex("lo w")
+    assert(enc.head._3 == md5lo)
+  }
+
+  test("bpeEncode over the training corpus reproduces training's state") {
+    val merges = Corpus.bpeTrain(bpeDocs, col("text"), 3)
+      .orderBy("rank").as[(Int, String, String, String, Long)].collect()
+      .map(m => (m._2, m._3)).toSeq
+    val enc = Corpus.bpeEncode(bpeDocs, col("doc_id"), col("text"), merges)
+      .orderBy("doc_id").as[(Long, Long, String)].collect()
+    // low×5 → [lo w]×5 = 10; lower×2 → [lo w e r]×2 = 8;
+    // newest×6 → [n e w est]×6 = 24; widest×3 → [w i d est]×3 = 12
+    assert(enc.map(_._2).toSeq == Seq(10L, 8L, 24L, 12L))
+  }
+
+  test("bpeEncode is map-only — no exchange, single pass") {
+    val plan = Corpus.bpeEncode(bpeDocs, col("doc_id"), col("text"),
+      Seq(("e", "s"), ("es", "t"))).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
   test("corpus operators stay shuffle-free (no Exchange in the plan)") {
     val plans = Seq(
       Corpus.hashSample(docs, col("doc_id"), 0.2, "s"),

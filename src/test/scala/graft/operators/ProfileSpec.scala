@@ -270,13 +270,33 @@ class ProfileSpec extends SparkSpecBase {
   }
 
   test("heavyHitters self-sizes on a thin-candidate corpus (starved topN)") {
-    // Zipf head much narrower than topN at tiny capacity: the candidate
-    // set comes back too thin to fill topN ranks; doubling converges
-    val docs = (1 to 120).flatMap(i => Seq.fill(600 / i)(s"w$i"))
-      .grouped(13).map(_.mkString(" ")).toSeq.toDF("text")
-    val got = Profile.heavyHitters(docs, col("text"), topN = 25,
-        capacity = 25)
-      .select("token", "cnt", "rank").as[(String, Long, Int)].collect().toSeq
+    // Genuinely starved candidates: 300 all-distinct tokens through ONE
+    // partition at capacity 25 — the MG decrement cycle evicts everything
+    // every 26 offers, leaving 300 mod 26 = 14 < topN survivors whose
+    // exact counts cover 14 of 300 stream tokens. The retry must jump to
+    // the HLL-measured distinct count ×1.15 (~345, where eviction is
+    // impossible) and converge in ONE retry, not the doubling ladder's
+    // four (25 → 50 → 100 → 200 → 400).
+    val docs = (1 to 300).map(i => f"w$i%03d")
+      .grouped(13).map(_.mkString(" ")).toSeq.toDF("text").coalesce(1)
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    val got =
+      try {
+        System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+        Profile.heavyHitters(docs, col("text"), topN = 25,
+            capacity = 25)
+          .select("token", "cnt", "rank")
+          .as[(String, Long, Int)].collect().toSeq
+      } finally System.setErr(realErr)
+    val retries = errBuf.toString("UTF-8").linesIterator
+      .count(_.contains("retrying at"))
+    assert(retries == 1,
+      s"thin-candidates computed jump must converge in one retry, took $retries")
+    // and it must be the THIN failure mode that retried (candidate
+    // shortfall), not the fat-head bound
+    assert(errBuf.toString("UTF-8").contains("they cover"),
+      s"expected the thin-candidates diagnostic, got:\n$errBuf")
     val want = docs.select(explode(split(trim(col("text")), "\\s+")).as("t"))
       .groupBy("t").count()
       .orderBy(col("count").desc, col("t").asc).limit(25)
