@@ -1144,6 +1144,19 @@ object SparkEntry {
       Dedup.semanticDedup(T(s, d, "embeddings"), col("vec_id"),
         col("embedding"), threshold = 0.4)),
 
+    // r11: SemDeDup's decade-3 correctness receipt. The FULL-corpus oracle
+    // is blocked two ways at sf100 — DuckDB's within-cluster pair replay
+    // over 2M vectors exhausts sandbox disk (r10, PLANS), and above 2^17
+    // vectors ivfIndexAuto's hierarchical assignment is approximate at
+    // cell boundaries, so no exact SQL replay exists. A deterministic
+    // 1/16 id slice keeps the pipeline IDENTICAL on real decade-3 data
+    // (125k sf100 vectors → flat exact assignment, SQL-replayable) while
+    // the oracle's quadratic pair volume shrinks 256×.
+    "semantic_dedup_slice" -> ((s, d) =>
+      Dedup.semanticDedup(
+        T(s, d, "embeddings").filter(col("vec_id") % 16 === 0),
+        col("vec_id"), col("embedding"), threshold = 0.4)),
+
     // ---- similarity search (north star) --------------------------------
     "similarity_topk" -> ((s, d) => {
       val e = T(s, d, "embeddings")
@@ -1369,6 +1382,114 @@ object SparkEntry {
           when(col("ntile") === 1, lit("head"))
             .when(col("ntile") === 2, lit("middle"))
             .otherwise(lit("tail")).as("bucket"))
+    }),
+
+    // STREAMING twin of lm_perplexity, executed for real: the bigram model
+    // is trained ONCE batch-side (Corpus.lmScorer — CCNet's deployment
+    // shape: static reference corpus, unbounded crawl), the id-capped
+    // train slice replays through a memory stream in two micro-batches,
+    // each scored per-batch via foreachBatch with stream-static joins
+    // against the persisted model frames. Oracle = the batch lm SQL on
+    // the same slice: stream ≡ batch is the contract (bit-exact — same
+    // decimal device, same rational rounding). The id cap bounds the
+    // replay harness (a driver-side collect by construction), not the
+    // operator.
+    "lm_score_stream" -> ((s, d) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val docs = T(s, d, "documents")
+      val slice = docs.filter(col("doc_id") < 20000L)
+      val scorer = Corpus.lmScorer(docs, col("doc_id"), col("text"), k = 0.5)
+      try {
+        implicit val enc: org.apache.spark.sql.Encoder[(Long, String)] =
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.STRING)
+        val ms = MemoryStream[(Long, String)](s)
+        val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+          org.apache.spark.sql.Row]()
+        val q = ms.toDF().toDF("doc_id", "text").writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            scorer.score(batch, col("doc_id"), col("text"))
+              .collect().foreach(buf.add(_)): Unit
+          }.start()
+        try {
+          val rows = slice.select("doc_id", "text").collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+          val half = math.max(1, rows.length / 2)
+          rows.grouped(half).foreach { chunk =>
+            ms.addData(chunk.toSeq: _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_bigrams",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("avg_logp",
+            org.apache.spark.sql.types.DoubleType, nullable = true),
+          org.apache.spark.sql.types.StructField("ppl",
+            org.apache.spark.sql.types.DoubleType, nullable = true)))
+        s.createDataFrame(new java.util.ArrayList(buf), schema)
+      } finally scorer.close()
+    }),
+
+    // STREAMING twin of ccnet_bucket: tercile BOUNDARIES are trained
+    // batch-side from the full ranking (Corpus.ntileBoundaries — k−1
+    // (ppl, doc_id) pairs, broadcast-tiny) and applied to the scored
+    // stream as a stateless map-only gate (Corpus.ntileGate). Oracle =
+    // the batch bucket SQL on the replayed slice — boundary semantics
+    // including exact-tie doc_id breaks must reproduce ntile(3) verbatim.
+    "ccnet_gate_stream" -> ((s, d) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val docs = T(s, d, "documents")
+      val scored = Corpus.lmPerplexity(docs, col("doc_id"), col("text"),
+          k = 0.5)
+        .filter(col("ppl").isNotNull)
+        .select(col("doc_id"), col("ppl"))
+        .persist()
+      val scorer = Corpus.lmScorer(docs, col("doc_id"), col("text"), k = 0.5)
+      try {
+        val bucketed = Windows.rankFunctionsScan(scored, Seq(lit(1)),
+          col("ppl"), col("doc_id"), ntileK = 3)
+        val cuts = Corpus.ntileBoundaries(bucketed, col("ppl"),
+          col("doc_id"), col("ntile"), 3)
+        val labels = Seq("head", "middle", "tail").take(cuts.length + 1)
+        implicit val enc: org.apache.spark.sql.Encoder[(Long, String)] =
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.STRING)
+        val ms = MemoryStream[(Long, String)](s)
+        val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+          org.apache.spark.sql.Row]()
+        val q = ms.toDF().toDF("doc_id", "text").writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            Corpus.ntileGate(
+                scorer.score(batch, col("doc_id"), col("text"))
+                  .filter(col("ppl").isNotNull)
+                  .select(col("doc_id"), col("ppl")),
+                col("ppl"), col("doc_id"), cuts, labels)
+              .collect().foreach(buf.add(_)): Unit
+          }.start()
+        try {
+          val rows = docs.filter(col("doc_id") < 20000L)
+            .select("doc_id", "text").collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+          val half = math.max(1, rows.length / 2)
+          rows.grouped(half).foreach { chunk =>
+            ms.addData(chunk.toSeq: _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("ppl",
+            org.apache.spark.sql.types.DoubleType, nullable = true),
+          org.apache.spark.sql.types.StructField("bucket",
+            org.apache.spark.sql.types.StringType, nullable = false)))
+        s.createDataFrame(new java.util.ArrayList(buf), schema)
+      } finally { scorer.close(); scored.unpersist(): Unit }
     }),
 
     // Contamination AUDIT (the report decontaminate acts on): per training
@@ -2042,6 +2163,66 @@ object SparkEntry {
        |   ' ' || regexp_replace(w, '(\\S)', '\\1  ', 'g') AS p FROM w),
        |${stages.mkString(",\n")}""".stripMargin
   }
+
+  /** The corpus-trained bigram-LM scoring pipeline (shared by
+    * lm_perplexity and its stream twin — the twin's oracle is this SQL
+    * restricted to the replayed id slice, since the stream scores against
+    * the SAME full-corpus model). */
+  private val lmPerplexitySql =
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+      |           FROM documents),
+      | b AS (SELECT doc_id,
+      |         unnest(toks[1:len(toks)-1]) AS w1,
+      |         unnest(toks[2:len(toks)]) AS w2
+      |       FROM t WHERE len(toks) >= 2),
+      | bc AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
+      | lc AS (SELECT w1, count(*) AS cl FROM b GROUP BY 1),
+      | v AS (SELECT count(DISTINCT w2) AS vocab FROM b),
+      | scored AS (SELECT doc_id,
+      |     CAST(round(ln((cb + 0.5) / (cl + 0.5 * vocab)), 6)
+      |       AS DECIMAL(18,6)) AS lp
+      |   FROM b JOIN bc USING (w1, w2) JOIN lc USING (w1) CROSS JOIN v),
+      | agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS slp
+      |         FROM scored GROUP BY 1),
+      | a6 AS (SELECT doc_id, n_bigrams,
+      |     CASE WHEN slp < 0 THEN -1 ELSE 1 END
+      |       * ((2 * abs(CAST(slp * 1000000 AS BIGINT)) + n_bigrams)
+      |          // (2 * n_bigrams)) AS avg6
+      |   FROM agg)
+      |SELECT t.doc_id,
+      | coalesce(a6.n_bigrams, 0) AS n_bigrams,
+      | CAST(a6.avg6 AS DOUBLE) / 1000000 AS avg_logp,
+      | round(exp(-(CAST(a6.avg6 AS DOUBLE) / 1000000)), 4) AS ppl
+      |FROM t LEFT JOIN a6 ON t.doc_id = a6.doc_id""".stripMargin
+
+  /** The CCNet tercile selection (shared by ccnet_bucket and its stream
+    * twin — the boundaries come from the FULL ranking either way). */
+  private val ccnetBucketSql =
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+      |           FROM documents),
+      | b AS (SELECT doc_id,
+      |         unnest(toks[1:len(toks)-1]) AS w1,
+      |         unnest(toks[2:len(toks)]) AS w2
+      |       FROM t WHERE len(toks) >= 2),
+      | bc AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
+      | lc AS (SELECT w1, count(*) AS cl FROM b GROUP BY 1),
+      | v AS (SELECT count(DISTINCT w2) AS vocab FROM b),
+      | scored AS (SELECT doc_id,
+      |     CAST(round(ln((cb + 0.5) / (cl + 0.5 * vocab)), 6)
+      |       AS DECIMAL(18,6)) AS lp
+      |   FROM b JOIN bc USING (w1, w2) JOIN lc USING (w1) CROSS JOIN v),
+      | agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS slp
+      |         FROM scored GROUP BY 1),
+      | ppl AS (SELECT doc_id,
+      |     round(exp(-(CAST(CASE WHEN slp < 0 THEN -1 ELSE 1 END
+      |       * ((2 * abs(CAST(slp * 1000000 AS BIGINT)) + n_bigrams)
+      |          // (2 * n_bigrams)) AS DOUBLE) / 1000000)), 4) AS ppl
+      |   FROM agg)
+      |SELECT doc_id, ppl,
+      |  CASE ntile(3) OVER (ORDER BY ppl, doc_id)
+      |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+      |  END AS bucket
+      |FROM ppl""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -2915,59 +3096,20 @@ object SparkEntry {
         |WHERE doc_id % 97 <> 0
         |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
 
-    "lm_perplexity" ->
-      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
-        |           FROM documents),
-        | b AS (SELECT doc_id,
-        |         unnest(toks[1:len(toks)-1]) AS w1,
-        |         unnest(toks[2:len(toks)]) AS w2
-        |       FROM t WHERE len(toks) >= 2),
-        | bc AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
-        | lc AS (SELECT w1, count(*) AS cl FROM b GROUP BY 1),
-        | v AS (SELECT count(DISTINCT w2) AS vocab FROM b),
-        | scored AS (SELECT doc_id,
-        |     CAST(round(ln((cb + 0.5) / (cl + 0.5 * vocab)), 6)
-        |       AS DECIMAL(18,6)) AS lp
-        |   FROM b JOIN bc USING (w1, w2) JOIN lc USING (w1) CROSS JOIN v),
-        | agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS slp
-        |         FROM scored GROUP BY 1),
-        | a6 AS (SELECT doc_id, n_bigrams,
-        |     CASE WHEN slp < 0 THEN -1 ELSE 1 END
-        |       * ((2 * abs(CAST(slp * 1000000 AS BIGINT)) + n_bigrams)
-        |          // (2 * n_bigrams)) AS avg6
-        |   FROM agg)
-        |SELECT t.doc_id,
-        | coalesce(a6.n_bigrams, 0) AS n_bigrams,
-        | CAST(a6.avg6 AS DOUBLE) / 1000000 AS avg_logp,
-        | round(exp(-(CAST(a6.avg6 AS DOUBLE) / 1000000)), 4) AS ppl
-        |FROM t LEFT JOIN a6 ON t.doc_id = a6.doc_id""".stripMargin,
+    "lm_perplexity" -> lmPerplexitySql,
 
-    "ccnet_bucket" ->
-      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
-        |           FROM documents),
-        | b AS (SELECT doc_id,
-        |         unnest(toks[1:len(toks)-1]) AS w1,
-        |         unnest(toks[2:len(toks)]) AS w2
-        |       FROM t WHERE len(toks) >= 2),
-        | bc AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
-        | lc AS (SELECT w1, count(*) AS cl FROM b GROUP BY 1),
-        | v AS (SELECT count(DISTINCT w2) AS vocab FROM b),
-        | scored AS (SELECT doc_id,
-        |     CAST(round(ln((cb + 0.5) / (cl + 0.5 * vocab)), 6)
-        |       AS DECIMAL(18,6)) AS lp
-        |   FROM b JOIN bc USING (w1, w2) JOIN lc USING (w1) CROSS JOIN v),
-        | agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS slp
-        |         FROM scored GROUP BY 1),
-        | ppl AS (SELECT doc_id,
-        |     round(exp(-(CAST(CASE WHEN slp < 0 THEN -1 ELSE 1 END
-        |       * ((2 * abs(CAST(slp * 1000000 AS BIGINT)) + n_bigrams)
-        |          // (2 * n_bigrams)) AS DOUBLE) / 1000000)), 4) AS ppl
-        |   FROM agg)
-        |SELECT doc_id, ppl,
-        |  CASE ntile(3) OVER (ORDER BY ppl, doc_id)
-        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
-        |  END AS bucket
-        |FROM ppl""".stripMargin,
+    // STREAM twin: same model (trained on the full corpus), same scores —
+    // the oracle is the batch SQL restricted to the replayed id slice.
+    "lm_score_stream" ->
+      s"SELECT * FROM ($lmPerplexitySql) WHERE doc_id < 20000",
+
+    "ccnet_bucket" -> ccnetBucketSql,
+
+    // STREAM twin: tercile boundaries trained batch-side over the FULL
+    // ranking, applied as a stateless gate — the oracle is the batch
+    // bucket SQL restricted to the replayed id slice.
+    "ccnet_gate_stream" ->
+      s"SELECT * FROM ($ccnetBucketSql) WHERE doc_id < 20000",
 
     "contamination_report" ->
       """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
@@ -3259,6 +3401,40 @@ object SparkEntry {
         |          WHERE vec_id % (SELECT GREATEST(1, CAST(FLOOR(
         |                   sqrt(count(*)) / 2.0) AS INT))
         |                 FROM embeddings) = 0),
+        | asg0 AS (SELECT c.vec_id, ct.centroid_id,
+        |            sum(c.v * ct.v) AS dot, sum(c.v * c.v) AS nc,
+        |            sum(ct.v * ct.v) AS nt
+        |          FROM x c JOIN cent ct ON c.i = ct.i GROUP BY 1, 2),
+        | asg AS (SELECT vec_id, centroid_id FROM (
+        |    SELECT vec_id, centroid_id, row_number() OVER
+        |      (PARTITION BY vec_id
+        |       ORDER BY dot / (sqrt(nc) * sqrt(nt)) DESC, centroid_id ASC) AS rn
+        |    FROM asg0) WHERE rn = 1),
+        | p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |       FROM asg a JOIN asg b
+        |         ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+        | d AS (SELECT p.id_a, p.id_b,
+        |         sum(qa.v * qb.v) AS dot,
+        |         sum(qa.v * qa.v) AS na, sum(qb.v * qb.v) AS nb
+        |       FROM p JOIN x qa ON qa.vec_id = p.id_a
+        |              JOIN x qb ON qb.vec_id = p.id_b AND qb.i = qa.i
+        |       GROUP BY 1, 2),
+        | dup AS (SELECT DISTINCT id_b FROM d
+        |         WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.4)
+        |SELECT asg.vec_id, asg.centroid_id,
+        |  asg.vec_id IN (SELECT id_b FROM dup) AS is_dup
+        |FROM asg""".stripMargin,
+
+    "semantic_dedup_slice" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings
+        |           WHERE vec_id % 16 = 0),
+        | x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |              CAST(unnest(embedding) AS DOUBLE) AS v
+        |       FROM e),
+        | cent AS (SELECT vec_id AS centroid_id, i, v FROM x
+        |          WHERE vec_id % (SELECT GREATEST(1, CAST(FLOOR(
+        |                   sqrt(count(*)) / 2.0) AS INT))
+        |                 FROM e) = 0),
         | asg0 AS (SELECT c.vec_id, ct.centroid_id,
         |            sum(c.v * ct.v) AS dot, sum(c.v * c.v) AS nc,
         |            sum(ct.v * ct.v) AS nt

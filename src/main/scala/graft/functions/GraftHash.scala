@@ -490,6 +490,48 @@ object GraftHash {
                         bloom: org.apache.spark.util.sketch.BloomFilter): Boolean =
     bloom.mightContainBinary(s.getBytes)
 
+  /** Subword-token count — the codegen kernel behind SubwordCount: the
+    * number of matches of `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` (maximal
+    * ASCII-letter runs + maximal digit runs + every other glyph, one per
+    * code point), counted in ONE pass over the UTF-8 BYTES with zero
+    * allocation. `regexp_extract_all(...).size` materializes every match
+    * string just to count them — measured 109.6 s of text_stats' 104.8 s
+    * at sf100, 30× the token split itself; this scanner is the same
+    * automaton as a transition count. Non-ASCII code points (any UTF-8
+    * lead byte) each count as one "other" glyph, exactly like the regex's
+    * negated ASCII class (java \s is ASCII-only without
+    * UNICODE_CHARACTER_CLASS); continuation bytes don't count, so
+    * multi-byte and supplementary code points count once. */
+  def subwordCount(s: UTF8String): Int = {
+    val n = s.numBytes()
+    var cnt = 0
+    var prev = 0 // 0 = boundary/space/other, 1 = in letter run, 2 = in digit run
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b >= 0) { // ASCII byte
+        if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) {
+          if (prev != 1) cnt += 1
+          prev = 1
+        } else if (b >= '0' && b <= '9') {
+          if (prev != 2) cnt += 1
+          prev = 2
+        } else if (b == ' ' || b == '\t' || b == '\n' || b == 0x0B ||
+            b == '\f' || b == '\r') {
+          prev = 0
+        } else {
+          cnt += 1
+          prev = 0
+        }
+      } else {
+        if ((b & 0xC0) != 0x80) cnt += 1 // lead byte = one code point
+        prev = 0
+      }
+      i += 1
+    }
+    cnt
+  }
+
   /** Count of array elements present in `set` (duplicates counted) — the
     * codegen kernel behind StopwordHits. */
   def countIn(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {

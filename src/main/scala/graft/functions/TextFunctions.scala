@@ -19,10 +19,17 @@ object TextFunctions {
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
 
   /** BPE-ish subword token count: count of maximal runs matched by a
-    * wordpiece-flavored regex (letters runs, digit runs, other glyph runs).
-    * A cheap, deterministic proxy for an LLM tokenizer's token count. */
+    * wordpiece-flavored regex (letters runs, digit runs, other glyph runs)
+    * — `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]`. A cheap, deterministic proxy
+    * for an LLM tokenizer's token count. Backed by the SubwordCount
+    * codegen scanner (one allocation-free byte pass): the literal
+    * `size(regexp_extract_all(...))` form materializes every match string
+    * and was measured at 109.6 s over 5M docs at sf100 — the entire
+    * text_stats budget; the scanner counts the identical automaton's
+    * matches and is cross-checked against DuckDB's regex engine by every
+    * oracle compare. */
   def regexTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    GraftFunctions.subwordCount(text)
 
   /** Word n-grams over whitespace tokens (for shingle-based MinHash).
     * transform(sequence(...)) keeps this fully inside Catalyst. */

@@ -945,6 +945,68 @@ object Corpus {
         round(exp(-avg), 4).as("ppl"))
   }
 
+  /** Build an [[LmScorer]] — the STREAMING deployment of [[lmPerplexity]]:
+    * the bigram model is trained ONCE on the (static) reference corpus —
+    * the two count frames persisted, the vocabulary collapsed to one
+    * scalar — and an unbounded training stream is scored against it batch
+    * by batch with zero per-batch training work. Same model, same decimal
+    * device, same half-up rational rounding, so scoring an in-corpus
+    * slice is bit-identical to the batch operator. Call `close()` when
+    * retiring it. */
+  def lmScorer(corpus: DataFrame, id: Column, text: Column,
+               k: Double = 0.5): LmScorer = {
+    require(k > 0.0, "need smoothing k > 0")
+    val bi = corpus.select(id.as("doc_id"),
+        TextFunctions.tokens(text).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(toks[i-1] AS w1, toks[i] AS w2))""".stripMargin))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .persist()
+    val lc = bi.groupBy(col("w1")).agg(count(lit(1)).as("cl")).persist()
+    val vocab = bi.agg(count_distinct(col("w2"))).head().getLong(0)
+    new LmScorer(bc, lc, vocab, k)
+  }
+
+  /** The k−1 ntile BOUNDARIES of a ranked frame — the artifact that turns
+    * a batch ranking into a stateless streaming gate: boundary i is the
+    * maximal (value, id) pair of ntile i, so "≤ boundary" reproduces the
+    * batch ntile labels exactly (ntile ranges are contiguous in the
+    * (value, id) total order, ties included). One bounded aggregation
+    * (k−1 rows collected); train them batch-side, broadcast them into
+    * [[ntileGate]]. */
+  def ntileBoundaries(bucketed: DataFrame, value: Column, id: Column,
+                      ntile: Column, k: Int): Seq[(Double, Long)] = {
+    require(k >= 2, "need k >= 2")
+    bucketed.filter(ntile < k)
+      .groupBy(ntile.as("__nb_t"))
+      .agg(max(struct(value.as("v"), id.as("i"))).as("b"))
+      .orderBy(col("__nb_t"))
+      .select(col("b.v"), col("b.i"))
+      .collect().toSeq
+      .map(r => (r.getDouble(0), r.getLong(1)))
+  }
+
+  /** Stateless map-only bucket assignment against batch-trained
+    * [[ntileBoundaries]]: the first boundary at or past the row's
+    * (value, id) names its bucket. Composes with streaming plans at any
+    * scale (pure codegen when-chain, no state store, no shuffle);
+    * `labels(i)` labels ntile i+1. */
+  def ntileGate(scored: DataFrame, value: Column, id: Column,
+                cuts: Seq[(Double, Long)], labels: Seq[String],
+                out: String = "bucket"): DataFrame = {
+    require(labels.length == cuts.length + 1,
+      "need one label per ntile: labels = cuts + 1")
+    val assign = cuts.zip(labels.init).foldRight(lit(labels.last): Column) {
+      case (((v, i), lab), acc) =>
+        when(value < v || (value === v && id <= i), lit(lab)).otherwise(acc)
+    }
+    scored.withColumn(out, assign)
+  }
+
   /** Exact half-up rounding of the rational `slp6 / n` to an integer,
     * in pure int64 arithmetic: q = (2·|slp6| + n) div (2n), sign restored.
     * Equivalent to rounding the true quotient half-away-from-zero at the
@@ -1183,4 +1245,57 @@ final class BloomDecontaminator private[operators] (
 
   /** Drop the persisted gram frame. */
   def close(): Unit = if (bloom.isDefined) evalGrams.unpersist()
+}
+
+/** Per-batch LM quality scoring against a PREBUILT bigram model — the
+  * production shape of [[Corpus.lmPerplexity]] for streams (CCNet scores
+  * an unbounded crawl against a model trained once on the reference
+  * corpus). The model travels as two persisted count FRAMES — a
+  * stream-static join, Zipf skew handled by AQE exactly as in the batch
+  * operator — plus one broadcast vocabulary scalar; nothing about the
+  * model is rebuilt per batch.
+  *
+  * Exactness: in-corpus batches score BIT-IDENTICAL to the batch operator
+  * (same rounded-decimal log-probs, same [[Corpus.halfUpAvg6]] rational
+  * rounding). Out-of-corpus bigrams take the add-k unseen path (LEFT
+  * joins, zero counts) instead of being dropped, so novel stream text is
+  * scored, never lost. Use inside `foreachBatch`, or directly on a
+  * bounded frame. */
+final class LmScorer private[operators] (
+    bc: DataFrame, lc: DataFrame, vocab: Long, k: Double) {
+
+  /** Score one (micro-)batch: (doc_id, n_bigrams, avg_logp, ppl) — the
+    * [[Corpus.lmPerplexity]] schema; < 2-token docs score NULL, never
+    * vanish. */
+  def score(batch: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = batch.select(id.as("doc_id"),
+      graft.functions.TextFunctions.tokens(text).as("toks"))
+    val bi = base.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(toks[i-1] AS w1, toks[i] AS w2))""".stripMargin))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val scored = bi
+      .join(bc, Seq("w1", "w2"), "left_outer")
+      .join(lc, Seq("w1"), "left_outer")
+      .select(col("doc_id"),
+        round(log((coalesce(col("cb"), lit(0L)) + lit(k)) /
+            (coalesce(col("cl"), lit(0L)) + lit(k) * lit(vocab))), 6)
+          .cast("decimal(18,6)").as("lp"))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+      .withColumn("slp6", (col("slp") * lit(1000000)).cast("long"))
+      .withColumn("avg6", Corpus.halfUpAvg6("slp6", "n_bigrams"))
+    val avg = col("avg6").cast("double") / lit(1000000.0)
+    base.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        avg.as("avg_logp"),
+        round(exp(-avg), 4).as("ppl"))
+  }
+
+  /** Drop the persisted model frames. */
+  def close(): Unit = { bc.unpersist(); lc.unpersist(): Unit }
 }

@@ -90,4 +90,36 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(r._2 == "t0 t1 t2")
     assert(r._3 == s"t${(n - 3) % 997} t${(n - 2) % 997} t${(n - 1) % 997}")
   }
+
+  test("regexTokenCount scanner ≡ the regex it replaces, incl. unicode") {
+    // the SubwordCount byte scanner must count exactly what
+    // size(regexp_extract_all(...)) counted — adversarial cases: empty,
+    // all-space, run transitions, ASCII punctuation, non-ASCII letters
+    // (one per code point, NOT per UTF-16 unit / UTF-8 byte), a
+    // supplementary code point, non-ASCII whitespace (NBSP counts: java
+    // \s is ASCII-only), and every ASCII \s char as a separator
+    val cases = Seq(
+      "", " ", "   \t\n\r\f ", "abc", "abc123", "a1b2",
+      "hello, world!", "x-47.11%", "a  b", "ÄÖü", "naïve café",
+      "日本語テスト", "emoji 😀 here", "a b",
+      "AB12cd!!ef \t 34", "trailing space ", " leading",
+      "mixed 中文 and english 123", "---", "a.b.c", "§±€",
+      (0 until 500).map(i => s"w$i,").mkString(" "))
+    val df = cases.toDF("t")
+    val got = df.select(TextFunctions.regexTokenCount(col("t")))
+      .as[Int].collect().toSeq
+    val want = df.select(size(regexp_extract_all(col("t"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
+      .as[Int].collect().toSeq
+    assert(got == want, cases.zip(got.zip(want))
+      .filter { case (_, (g, w)) => g != w }.toString)
+  }
+
+  test("regexTokenCount hand-computed known answers") {
+    val r = Seq(("a1! b", 4), ("Hello世界", 3), ("", 0), ("  ", 0))
+      .map(_._1).toDF("t")
+      .select(TextFunctions.regexTokenCount(col("t"))).as[Int].collect()
+    // "a1! b": [a][1][!][b]; "Hello世界": [Hello][世][界]
+    assert(r.toSeq == Seq(4, 3, 0, 0))
+  }
 }
