@@ -1443,12 +1443,15 @@ object SparkEntry {
     "ccnet_gate_stream" -> ((s, d) => {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val docs = T(s, d, "documents")
-      val scored = Corpus.lmPerplexity(docs, col("doc_id"), col("text"),
-          k = 0.5)
+      // ONE model build: the scorer both ranks the corpus (score(corpus)
+      // ≡ lmPerplexity on in-corpus input — LmScorerSpec pins the
+      // bit-equality) and scores the stream batches against the same
+      // persisted count frames.
+      val scorer = Corpus.lmScorer(docs, col("doc_id"), col("text"), k = 0.5)
+      val scored = scorer.score(docs, col("doc_id"), col("text"))
         .filter(col("ppl").isNotNull)
         .select(col("doc_id"), col("ppl"))
         .persist()
-      val scorer = Corpus.lmScorer(docs, col("doc_id"), col("text"), k = 0.5)
       try {
         val bucketed = Windows.rankFunctionsScan(scored, Seq(lit(1)),
           col("ppl"), col("doc_id"), ntileK = 3)

@@ -668,6 +668,47 @@ class CorpusSpec extends SparkSpecBase {
     assert(a == b && a.size == 900, s"branch outputs diverged: ${a.size}/${b.size}")
   }
 
+  test("lmScorer: score(corpus) ≡ batch lmPerplexity; unseen text scored") {
+    val scorer = Corpus.lmScorer(docs, col("doc_id"), col("text"))
+    try {
+      // in-corpus scoring must be BIT-identical to the batch operator —
+      // the ccnet_gate_stream query builds its ranking on exactly this
+      val a = scorer.score(docs, col("doc_id"), col("text"))
+        .orderBy("doc_id").collect().toSeq
+      val b = Corpus.lmPerplexity(docs, col("doc_id"), col("text"))
+        .orderBy("doc_id").collect().toSeq
+      assert(a == b)
+      // out-of-corpus bigrams take the add-k unseen path: scored, not
+      // dropped (the batch operator could only ever see in-corpus text)
+      val novel = Seq((9999L, "zzz qqq xxx"), (9998L, "solo"))
+        .toDF("doc_id", "text")
+      val r = scorer.score(novel, col("doc_id"), col("text"))
+        .orderBy(col("doc_id").desc).collect()
+      assert(r(0).getLong(1) == 2L && !r(0).isNullAt(2) && !r(0).isNullAt(3))
+      assert(r(1).getLong(1) == 0L && r(1).isNullAt(2)) // <2 tokens: NULL
+    } finally scorer.close()
+  }
+
+  test("ntileBoundaries + ntileGate reproduce ntile labels incl. ties") {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 1.0),
+      (5L, 2.0), (6L, 2.0), (7L, 3.0), (8L, 3.0)).toDF("id", "v")
+    val ranked = scored.withColumn("ntile",
+      ntile(3).over(Window.orderBy(col("v"), col("id"))))
+    val cuts = Corpus.ntileBoundaries(ranked, col("v"), col("id"),
+      col("ntile"), 3)
+    // tile 1 = ids 1-3 (ties on v broken by id), tile 2 = 4-6, tile 3 = 7-8
+    assert(cuts == Seq((1.0, 3L), (2.0, 6L)), cuts.toString)
+    val want = ranked.select(col("id"),
+        when(col("ntile") === 1, "a").when(col("ntile") === 2, "b")
+          .otherwise("c").as("bucket"))
+      .as[(Long, String)].collect().toMap
+    val got = Corpus.ntileGate(scored, col("v"), col("id"), cuts,
+        Seq("a", "b", "c"))
+      .select("id", "bucket").as[(Long, String)].collect().toMap
+    assert(got == want, s"$got vs $want")
+  }
+
   test("urlFilter: suffix semantics, allow mode, and the sketch route") {
     val urls = Seq(
       (1L, "https://ads.tracker.example.com/x"), // blocked: subdomain
