@@ -1149,12 +1149,16 @@ object SparkEntry {
     // over 2M vectors exhausts sandbox disk (r10, PLANS), and above 2^17
     // vectors ivfIndexAuto's hierarchical assignment is approximate at
     // cell boundaries, so no exact SQL replay exists. A deterministic
-    // 1/16 id slice keeps the pipeline IDENTICAL on real decade-3 data
-    // (125k sf100 vectors → flat exact assignment, SQL-replayable) while
-    // the oracle's quadratic pair volume shrinks 256×.
+    // id slice keeps the pipeline IDENTICAL on real decade-3 data
+    // (31k sf100 vectors → flat exact assignment, SQL-replayable) while
+    // the oracle's quadratic volumes shrink accordingly. 1/64 and not
+    // 1/16: the r11 first attempt at 1/16 (125k vectors) still exhausted
+    // sandbox disk in DuckDB temp spill — the spiller is the ASSIGNMENT
+    // join (vecs × dims × centroids ≈ 2.8B intermediate rows before the
+    // group-by), not the pairs; 31k vectors bound it at ~10 GB.
     "semantic_dedup_slice" -> ((s, d) =>
       Dedup.semanticDedup(
-        T(s, d, "embeddings").filter(col("vec_id") % 16 === 0),
+        T(s, d, "embeddings").filter(col("vec_id") % 64 === 0),
         col("vec_id"), col("embedding"), threshold = 0.4)),
 
     // ---- similarity search (north star) --------------------------------
@@ -3430,7 +3434,7 @@ object SparkEntry {
 
     "semantic_dedup_slice" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings
-        |           WHERE vec_id % 16 = 0),
+        |           WHERE vec_id % 64 = 0),
         | x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
         |              CAST(unnest(embedding) AS DOUBLE) AS v
         |       FROM e),
