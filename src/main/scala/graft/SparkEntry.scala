@@ -76,6 +76,23 @@ object SparkEntry {
       |   '/p/' || CAST(doc_id AS VARCHAR) AS url
       | FROM documents""".stripMargin
 
+  /** The url_filter oracle (shared by its stream twin, which gates an
+    * id-capped slice of the same planted corpus). */
+  private lazy val urlFilterSql =
+    s"""WITH d AS ($plantedUrlSql),
+       | h AS (SELECT doc_id, lower(regexp_extract(url,
+       |   '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+).*', 1))
+       |   AS host FROM d),
+       | sfx AS (SELECT doc_id, unnest(list_transform(
+       |     generate_series(1, len(string_split(host, '.'))),
+       |     i -> array_to_string(string_split(host, '.')[i:], '.')))
+       |   AS dom FROM h),
+       | bl AS (SELECT lower(dom) AS dom FROM (VALUES
+       |   ${urlBlocklist.map(x => s"('$x')").mkString(", ")}) t(dom)),
+       | bad AS (SELECT DISTINCT doc_id FROM sfx JOIN bl USING (dom))
+       |SELECT doc_id, host AS domain FROM h
+       |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
+
   /** Exact cosine via SQL higher-order folds — an execution path
     * INDEPENDENT of the codegen CosineSimilarity kernel; the partial-oracle
     * invariant queries use it to cross-check reported scores (interpreted
@@ -1561,6 +1578,54 @@ object SparkEntry {
       Corpus.urlFilter(docs, col("doc_id"), col("url"),
           urlBlocklist.toDF("domain"), col("domain"), mode = "deny")
         .select(col("doc_id"), Corpus.urlHost(col("url")).as("domain"))
+    }),
+
+    // STREAMING twin of url_filter, executed for real: the suffix-match
+    // gate is trained ONCE on the static blocklist (Corpus.urlGate —
+    // RefinedWeb's deployment shape: fixed registry, unbounded crawl),
+    // the id-capped planted slice replays through a memory stream in two
+    // micro-batches, each gated per-batch via foreachBatch. Oracle = the
+    // batch url_filter SQL on the same slice: stream ≡ batch is the
+    // contract (row-identical — the gate IS the batch join). The id cap
+    // bounds the replay harness (a driver-side collect by construction),
+    // not the operator.
+    "url_filter_stream" -> ((s, d) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      val docs = plantedUrlDocs(T(s, d, "documents"))
+      val slice = docs.filter(col("doc_id") < 20000L)
+      val gate = Corpus.urlGate(urlBlocklist.toDF("domain"), col("domain"))
+      try {
+        implicit val enc: org.apache.spark.sql.Encoder[(Long, String)] =
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.STRING)
+        val ms = MemoryStream[(Long, String)](s)
+        val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+          org.apache.spark.sql.Row]()
+        val q = ms.toDF().toDF("doc_id", "url").writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            gate.filter(batch, col("doc_id"), col("url"), mode = "deny")
+              .select(col("doc_id"),
+                Corpus.urlHost(col("url")).as("domain"))
+              .collect().foreach(buf.add(_)): Unit
+          }.start()
+        try {
+          val rows = slice.select("doc_id", "url").collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+          val half = math.max(1, rows.length / 2)
+          rows.grouped(half).foreach { chunk =>
+            ms.addData(chunk.toSeq: _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("domain",
+            org.apache.spark.sql.types.StringType, nullable = true)))
+        s.createDataFrame(new java.util.ArrayList(buf), schema)
+      } finally gate.close()
     }),
 
     // Per-domain curation report: doc counts + byte mass by URL host —
@@ -3152,7 +3217,8 @@ object SparkEntry {
         s"""SELECT CAST(${i + 1} AS INT) AS rank,
            | split_part(pair, '  ', 1) AS p1,
            | split_part(pair, '  ', 2) AS p2,
-           | replace(pair, '  ', '') AS merged, n AS freq
+           | replace(pair, '  ', '') AS merged,
+           | CAST(n AS BIGINT) AS freq
            |FROM m$i""".stripMargin).mkString("\nUNION ALL\n")),
 
     "bpe_encode" -> (bpeTrainCtes(10) + ",\n" +
@@ -3175,20 +3241,12 @@ object SparkEntry {
          |  md5(syms) AS syms_md5
          |FROM enc""".stripMargin),
 
-    "url_filter" ->
-      s"""WITH d AS ($plantedUrlSql),
-         | h AS (SELECT doc_id, lower(regexp_extract(url,
-         |   '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+).*', 1))
-         |   AS host FROM d),
-         | sfx AS (SELECT doc_id, unnest(list_transform(
-         |     generate_series(1, len(string_split(host, '.'))),
-         |     i -> array_to_string(string_split(host, '.')[i:], '.')))
-         |   AS dom FROM h),
-         | bl AS (SELECT lower(dom) AS dom FROM (VALUES
-         |   ${urlBlocklist.map(x => s"('$x')").mkString(", ")}) t(dom)),
-         | bad AS (SELECT DISTINCT doc_id FROM sfx JOIN bl USING (dom))
-         |SELECT doc_id, host AS domain FROM h
-         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+    "url_filter" -> urlFilterSql,
+
+    // stream twin: the gate is trained once on the static blocklist and
+    // applied per micro-batch; stream ≡ batch on the replayed slice.
+    "url_filter_stream" ->
+      s"SELECT * FROM ($urlFilterSql) WHERE doc_id < 20000",
 
     "domain_stats" ->
       s"""WITH d AS ($plantedUrlSql)

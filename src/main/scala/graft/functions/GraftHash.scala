@@ -544,4 +544,75 @@ object GraftHash {
     }
     c
   }
+
+  /** Whether `b` is one of java.util.regex's six ASCII `\s` bytes
+    * (space \t \n \x0B \f \r — the default, non-UNICODE_CHARACTER_CLASS
+    * set both engines' BPE padding regex uses). */
+  @inline private def isRegexWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** BPE boundary-padding — the codegen kernel behind BpeSymbolPad:
+    * byte-exact `" " || regexp_replace(s, "(\S)", "$1  ")`, built in ONE
+    * pass over the UTF-8 bytes instead of a per-code-point regex match
+    * (the padding regex alone was 75.4 s of bpe_encode's sf100 budget —
+    * ~2.5 B group substitutions). `\S` in both java.util.regex and RE2
+    * matches one CODE POINT, so a multi-byte sequence (lead byte + its
+    * continuations) is copied whole before the two pad spaces — never
+    * split. Whitespace test is the regex default ASCII `\s` (6 bytes, all
+    * single-byte in UTF-8, so the byte scan sees every occurrence). */
+  def bpeSymbolPad(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    val out = new Array[Byte](1 + 3 * n) // worst case: every byte padded
+    out(0) = ' '
+    var o = 1
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      out(o) = b
+      o += 1
+      i += 1
+      if (!isRegexWs(b)) {
+        // copy the rest of this code point (continuation bytes), then pad
+        while (i < n && (s.getByte(i) & 0xC0) == 0x80) {
+          out(o) = s.getByte(i); o += 1; i += 1
+        }
+        out(o) = ' '; out(o + 1) = ' '; o += 2
+      }
+    }
+    UTF8String.fromBytes(out, 0, o)
+  }
+
+  /** Space-run collapse + space trim — the codegen kernel behind
+    * CollapseSpaces: byte-exact `trim(regexp_replace(s, " +", " "))`
+    * (0x20 ONLY, like the regex and like Spark's trim; other whitespace
+    * passes through — an interior tab stays glued to its neighbors
+    * exactly as the regex form leaves it). One pass, one allocation. */
+  def collapseSpaces(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    val out = new Array[Byte](n)
+    var o = 0
+    var i = 0
+    var pendingSpace = false
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b == ' ') { if (o > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { out(o) = ' '; o += 1; pendingSpace = false }
+        out(o) = b; o += 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, o) // trailing spaces stay pending = trimmed
+  }
+
+  /** Count of 0x20 bytes — token arithmetic over single-spaced strings
+    * (`spaceCount + 1` tokens) without `split`'s match-array allocation.
+    * UTF-8 guarantees 0x20 never appears inside a multi-byte sequence. */
+  def spaceCount(s: UTF8String): Int = {
+    val n = s.numBytes()
+    var c = 0
+    var i = 0
+    while (i < n) { if (s.getByte(i) == ' ') c += 1; i += 1 }
+    c
+  }
 }

@@ -475,6 +475,55 @@ case class SubwordCount(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** BPE boundary padding of a string — semantically
+  * `concat(" ", regexp_replace(s, "(\\S)", "$1  "))`, built by
+  * [[GraftHash.bpeSymbolPad]]'s single UTF-8 byte pass instead of a
+  * per-code-point regex substitution. The regex form was 75.4 s of
+  * bpe_encode's sf100 budget (~2.5 B group substitutions over 5M docs);
+  * the DuckDB oracle keeps the regex formulation, so every hash compare
+  * cross-checks the byte builder against a real regex engine — the
+  * SubwordCount playbook. */
+case class BpeSymbolPad(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.bpeSymbolPad(v.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftHash.bpeSymbolPad($c);")
+  override protected def withNewChildInternal(c: Expression): BpeSymbolPad =
+    copy(child = c)
+}
+
+/** Space-run collapse + trim — semantically
+  * `trim(regexp_replace(s, " +", " "))` in one byte pass
+  * ([[GraftHash.collapseSpaces]]); the bpe_encode normalization stage. */
+case class CollapseSpaces(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.collapseSpaces(v.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftHash.collapseSpaces($c);")
+  override protected def withNewChildInternal(c: Expression): CollapseSpaces =
+    copy(child = c)
+}
+
+/** Count of 0x20 space bytes ([[GraftHash.spaceCount]]) — token counting
+  * over single-spaced strings without `split`'s array allocation. */
+case class SpaceCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.spaceCount(v.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftHash.spaceCount($c);")
+  override protected def withNewChildInternal(c: Expression): SpaceCount =
+    copy(child = c)
+}
+
 /** Bloom-filter membership probe of a string column against a plan-time
   * [[org.apache.spark.util.sketch.BloomFilter]] (Spark's own mergeable
   * sketch, built distributedly by `df.stat.bloomFilter`). The filter rides
@@ -617,6 +666,12 @@ object GraftFunctions {
     toCol(StopwordHits(toExpr(tokens), words))
   def subwordCount(text: Column): Column =
     toCol(SubwordCount(toExpr(text)))
+  def bpeSymbolPad(text: Column): Column =
+    toCol(BpeSymbolPad(toExpr(text)))
+  def collapseSpaces(text: Column): Column =
+    toCol(CollapseSpaces(toExpr(text)))
+  def spaceCount(text: Column): Column =
+    toCol(SpaceCount(toExpr(text)))
   def ngramRepetition(tokens: Column, n: Int): Column =
     toCol(NGramRepetition(toExpr(tokens), n))
   def repetitionCounts(tokens: Column): Column =

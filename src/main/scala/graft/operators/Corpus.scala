@@ -636,13 +636,16 @@ object Corpus {
     * Symbols never contain spaces (tokens are whitespace-split), so the
     * encoding is unambiguous; both engines' `replace` scan left-to-right
     * over non-overlapping occurrences, which IS the BPE merge rule.
-    * Built by one regex (`(\S)` → `$1␣␣`) restricted to the
+    * Semantics are one regex (`(\S)` → `$1␣␣`) restricted to the
     * java.util.regex ∩ RE2 dialect so DuckDB replays the identical
-    * automaton; applied to multi-word text the word gaps become THREE
-    * spaces, which no `" p1  p2 "` pattern can straddle — merges stay
-    * word-local for free. */
+    * automaton — the ENGINE builds it with the BpeSymbolPad codegen byte
+    * kernel (byte-exact, one pass; the regex form alone was 75.4 s of
+    * bpe_encode's sf100 budget), the ORACLE keeps the regex, so every
+    * hash compare cross-checks the kernel. Applied to multi-word text
+    * the word gaps become THREE spaces, which no `" p1  p2 "` pattern
+    * can straddle — merges stay word-local for free. */
   private def bpeSymbolString(text: Column): Column =
-    concat(lit(" "), regexp_replace(text, "(\\S)", "$1  "))
+    graft.functions.GraftFunctions.bpeSymbolPad(text)
 
   /** One BPE merge as a literal string replace over a [[bpeSymbolString]]
     * column. `pair` is the `"p1  p2"` pair key (double-space separator —
@@ -770,17 +773,35 @@ object Corpus {
     * a single pass over the bytes at scan parallelism. Word boundaries
     * are the [[bpeSymbolString]] triple-space gaps, so no merge ever
     * crosses a word — the merge list broadcast is the CLOSURE, a few KB
-    * for real vocabularies. */
+    * for real vocabularies.
+    *
+    * Merge-count bound: the nested-replace tree is linear in numMerges
+    * and measured fine at 512 merges (CorpusSpec's depth probe — analysis +
+    * optimizer + codegen all single-pass over the tree; codegen splits
+    * oversized methods itself). It is NOT the shape for a real 30k-merge
+    * vocabulary: Catalyst's transform recursion stacks one frame per
+    * node (~10k merges risks StackOverflow on default -Xss) and plan
+    * instantiation alone is O(numMerges) per query. At that scale encode
+    * in ranked chunks of ≤1k merges with a `localCheckpoint()` between
+    * chunks (the [[bpeTrain]] lineage-cut device — sequential-replace
+    * semantics compose across chunks verbatim), or precompute the
+    * per-word encoding over the DISTINCT-word vocabulary (Heaps'-law
+    * small) and join it back. */
   def bpeEncode(docs: DataFrame, id: Column, text: Column,
                 merges: Seq[(String, String)]): DataFrame = {
     val sym0 = bpeSymbolString(trim(text))
     val enc = merges.foldLeft(sym0) { case (p, (p1, p2)) =>
       bpeApplyMerge(p, p1 + "  " + p2)
     }
-    val norm = trim(regexp_replace(enc, " +", " "))
+    // normalization + token count are byte kernels (CollapseSpaces /
+    // SpaceCount): the regex forms live on in the oracle as cross-checks.
+    // A single-spaced non-empty string has exactly spaces+1 tokens — no
+    // split-array allocation on the hot path.
+    val norm = graft.functions.GraftFunctions.collapseSpaces(enc)
     docs.select(id.as("doc_id"),
       when(length(trim(text)) === 0, lit(0L))
-        .otherwise(size(split(norm, " ")).cast("long")).as("n_tok_bpe"),
+        .otherwise((graft.functions.GraftFunctions.spaceCount(norm) +
+          lit(1)).cast("long")).as("n_tok_bpe"),
       md5(norm).as("syms_md5"))
   }
 
@@ -895,14 +916,27 @@ object Corpus {
     * count, mean log-probability, and perplexity exp(−mean); docs with
     * < 2 tokens score NULL (nothing to model), never vanish.
     *
-    * Scale shape: counts are map-side-combinable groupBys keyed by words;
-    * scoring is two linear equi-joins keyed by (w1,w2)/(w1) — Zipf makes
-    * w1 hot ("the"), which is exactly the shape AQE's skew-join split
-    * handles on a plain shuffle join; V rides in as a broadcast 1-row
-    * frame (no driver action). Per-bigram log-probs are ROUNDED TO 6 dp
-    * AND SUMMED AS DECIMAL, so each document's score is order-independent
-    * — the same partial-sum-order drift the decade-3 money aggregates hit
-    * would otherwise make 10^9 doc scores engine-order-dependent. */
+    * Scale shape (r12, replacing the r11 two-join form that spilled 42 GB
+    * at sf100): the ENTIRE model collapses to one vocab-scale
+    * (w1, w2, lp) table before any corpus-scale join — cl is the
+    * (w1)-marginal OF cb (c(w1,·) = Σ_w2 c(w1,w2)) and V is distinct w2
+    * over cb, so both re-aggregate bc's already-shuffled Heaps'-law frame
+    * instead of re-scanning the corpus (`ReusedExchange` in the formatted
+    * plan is the receipt; the explicit IsNotNull filters below exist to
+    * keep the branches canonically identical so that reuse fires), and
+    * the log/round/decimal arithmetic runs once per bigram TYPE, not once
+    * per occurrence. Scoring is then ONE equi-join of the occurrence
+    * stream against that table: AQE sees the materialized lp stage
+    * (vocab-scale, small) and converts the join to broadcast — no
+    * corpus-side sort, which is precisely what spilled in the r11 shape;
+    * when a truly web-scale bigram vocabulary outgrows broadcast, the
+    * residual plan is one shuffle join keyed (w1,w2), Zipf-hot w1 being
+    * AQE's skew-split case. The per-doc reduction is a map-side-combining
+    * groupBy(doc_id) — per-doc partials, never an occurrence shuffle.
+    * Per-bigram log-probs are ROUNDED TO 6 dp AND SUMMED AS DECIMAL, so
+    * each document's score is order-independent — the same
+    * partial-sum-order drift the decade-3 money aggregates hit would
+    * otherwise make 10^9 doc scores engine-order-dependent. */
   def lmPerplexity(docs: DataFrame, id: Column, text: Column,
                    k: Double = 0.5): DataFrame = {
     require(k > 0.0, "need smoothing k > 0")
@@ -914,16 +948,36 @@ object Corpus {
           |  i -> struct(toks[i-1] AS w1, toks[i] AS w2))""".stripMargin))
         .as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      // tokens are split() elements (never null), and a null-id doc's
+      // bigrams can never match the final doc_id join-back (it reports
+      // n_bigrams=0 either way); stating all three filters EXPLICITLY —
+      // instead of letting each join branch infer its own IsNotNull
+      // constraints — keeps both corpus branches' subtrees canonically
+      // aligned and the model branches reuse-friendly
+      .filter(col("doc_id").isNotNull && col("w1").isNotNull &&
+        col("w2").isNotNull)
     val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-    val lc = bi.groupBy(col("w1")).agg(count(lit(1)).as("cl"))
-    val vocab = bi.agg(count_distinct(col("w2")).as("vocab"))
-    val scored = bi
-      .join(bc, Seq("w1", "w2"))
+    val lc = bc.groupBy(col("w1")).agg(sum(col("cb")).as("cl"))
+    // the cb > 0 filter is vacuous (counts are ≥ 1) but it REFERENCES the
+    // aggregate, which stops RemoveRedundantAggregates from collapsing
+    // "distinct w2 over bc" back onto the raw bigram stream — that
+    // rewrite is locally smart and globally wasteful: it would give the
+    // vocab branch its own corpus tokenize instead of reusing bc's
+    // already-shuffled vocab-scale frame
+    val vocab = bc.filter(col("cb") > 0)
+      .agg(count_distinct(col("w2")).as("vocab"))
+    // the WHOLE model collapses to one vocab-scale (w1, w2, lp) table:
+    // lc/vocab are re-aggregations OF bc (exchange-reused, no re-scan),
+    // and the log/round/decimal arithmetic runs once per bigram TYPE
+    // (Heaps'-law bounded), not once per occurrence
+    val lp = bc
       .join(lc, Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .select(col("doc_id"),
+      .select(col("w1"), col("w2"),
         round(log((col("cb") + lit(k)) / (col("cl") + lit(k) * col("vocab"))),
           6).cast("decimal(18,6)").as("lp"))
+    val scored = bi.join(lp, Seq("w1", "w2"))
+      .select(col("doc_id"), col("lp"))
     val perDoc = scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
       // slp is an exact integer at scale 6; avg_logp must NOT be
@@ -966,8 +1020,13 @@ object Corpus {
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
       .persist()
-    val lc = bi.groupBy(col("w1")).agg(count(lit(1)).as("cl")).persist()
-    val vocab = bi.agg(count_distinct(col("w2"))).head().getLong(0)
+    // ONE corpus-scale scan (bc's build): the left-context counts are the
+    // (w1)-marginal of bc (c(w1,·) = Σ_w2 c(w1,w2)) and the vocabulary is
+    // distinct w2 over bc — both read the persisted vocab-scale frame,
+    // where the r11 formulation re-tokenized the whole corpus for each
+    // (three corpus scans at model-build time).
+    val lc = bc.groupBy(col("w1")).agg(sum(col("cb")).as("cl")).persist()
+    val vocab = bc.select(col("w2")).distinct().count()
     new LmScorer(bc, lc, vocab, k)
   }
 
@@ -985,7 +1044,10 @@ object Corpus {
       .groupBy(ntile.as("__nb_t"))
       .agg(max(struct(value.as("v"), id.as("i"))).as("b"))
       .orderBy(col("__nb_t"))
-      .select(col("b.v"), col("b.i"))
+      // max(struct) ordered on the ORIGINAL dtypes; only the collected
+      // boundary values are widened, so a DecimalType/FloatType value or
+      // IntegerType id can't ClassCastException the row getters
+      .select(col("b.v").cast("double"), col("b.i").cast("long"))
       .collect().toSeq
       .map(r => (r.getDouble(0), r.getLong(1)))
   }
@@ -1131,28 +1193,28 @@ object Corpus {
                 domains: DataFrame, domain: Column,
                 mode: String = "deny", fpp: Double = 0.01,
                 maxBroadcastDomains: Long = 1L << 22): DataFrame = {
-    require(mode == "deny" || mode == "allow", "mode must be deny|allow")
+    val gate = urlGate(domains, domain, fpp, maxBroadcastDomains)
+    try gate.filter(docs, id, url, mode) finally gate.close()
+  }
+
+  /** Build a [[UrlGate]] — the STREAMING deployment of [[urlFilter]]:
+    * the blocklist is normalized, deduped, and COUNTED once (domain lists
+    * are static in production — RefinedWeb's runs in-stream against a
+    * fixed registry), choosing the broadcast or Bloom-prefiltered match
+    * path up front; every scored (micro-)batch then pays only the
+    * suffix-explode + semi-join, no per-batch list work. Same routing,
+    * same exactness argument as the batch operator — gating an in-corpus
+    * slice is row-identical to batch [[urlFilter]]. `close()` when
+    * retiring it. */
+  def urlGate(domains: DataFrame, domain: Column, fpp: Double = 0.01,
+              maxBroadcastDomains: Long = 1L << 22): UrlGate = {
     require(fpp > 0.0 && fpp < 1.0, "need 0 < fpp < 1")
     val dset = domains.select(lower(domain).as("__uf_d")).distinct().persist()
-    try {
-      val nDomains = dset.count()
-      val suffixes = docs.select(id.as("__uf_id"),
-        explode(hostSuffixes(urlHost(url))).as("__uf_d"))
-      val matched =
-        if (nDomains == 0L) suffixes.filter(lit(false)).select(col("__uf_id"))
-        else if (nDomains <= maxBroadcastDomains)
-          suffixes.join(broadcast(dset), Seq("__uf_d"), "left_semi")
-            .select(col("__uf_id")).distinct()
-        else {
-          val bloom = dset.stat.bloomFilter("__uf_d", nDomains, fpp)
-          suffixes
-            .filter(GraftFunctions.bloomMightContain(col("__uf_d"), bloom))
-            .join(dset, Seq("__uf_d"), "left_semi")
-            .select(col("__uf_id")).distinct()
-        }
-      docs.join(matched, id === col("__uf_id"),
-        if (mode == "deny") "left_anti" else "left_semi")
-    } finally dset.unpersist()
+    val nDomains = dset.count()
+    val bloom =
+      if (nDomains == 0L || nDomains <= maxBroadcastDomains) None
+      else Some(dset.stat.bloomFilter("__uf_d", nDomains, fpp))
+    new UrlGate(dset, nDomains, bloom)
   }
 
   /** Per-domain curation report: document counts and byte mass by URL
@@ -1276,6 +1338,12 @@ final class LmScorer private[operators] (
           |  i -> struct(toks[i-1] AS w1, toks[i] AS w2))""".stripMargin))
         .as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // out-of-corpus bigrams need BOTH left-outer joins (an unseen w2
+    // under a seen w1 still has a real cl), so the lp-table collapse the
+    // batch operator uses doesn't apply — but both model frames are
+    // PERSISTED with materialized stats, so the planner broadcasts them
+    // natively and each micro-batch is map-side joins + a per-doc
+    // combining agg: zero batch-side shuffle of occurrences.
     val scored = bi
       .join(bc, Seq("w1", "w2"), "left_outer")
       .join(lc, Seq("w1"), "left_outer")
@@ -1298,4 +1366,43 @@ final class LmScorer private[operators] (
 
   /** Drop the persisted model frames. */
   def close(): Unit = { bc.unpersist(); lc.unpersist(): Unit }
+}
+
+/** Batch-trained URL/domain gate — [[Corpus.urlGate]]'s product. Holds the
+  * normalized blocklist (persisted, vocab-scale), its measured count, and
+  * the Bloom sketch when the list outgrew the broadcast threshold; each
+  * `filter` call is the exact suffix-set equi-join of [[Corpus.urlFilter]]
+  * over one (micro-)batch. Stateless across batches: no state store, no
+  * watermark — a document's verdict depends only on its own URL and the
+  * static list. */
+final class UrlGate private[operators] (
+    dset: DataFrame, nDomains: Long,
+    bloom: Option[org.apache.spark.util.sketch.BloomFilter]) {
+
+  /** Keep (`allow`) or drop (`deny`) the batch rows whose URL host is or
+    * sits under a listed domain — row-identical to [[Corpus.urlFilter]]
+    * on the same input. */
+  def filter(batch: DataFrame, id: Column, url: Column,
+             mode: String = "deny"): DataFrame = {
+    require(mode == "deny" || mode == "allow", "mode must be deny|allow")
+    val suffixes = batch.select(id.as("__uf_id"),
+      explode(Corpus.hostSuffixes(Corpus.urlHost(url))).as("__uf_d"))
+    val matched =
+      if (nDomains == 0L) suffixes.filter(lit(false)).select(col("__uf_id"))
+      else bloom match {
+        case None =>
+          suffixes.join(broadcast(dset), Seq("__uf_d"), "left_semi")
+            .select(col("__uf_id")).distinct()
+        case Some(b) =>
+          suffixes
+            .filter(GraftFunctions.bloomMightContain(col("__uf_d"), b))
+            .join(dset, Seq("__uf_d"), "left_semi")
+            .select(col("__uf_id")).distinct()
+      }
+    batch.join(matched, id === col("__uf_id"),
+      if (mode == "deny") "left_anti" else "left_semi")
+  }
+
+  /** Drop the persisted blocklist frame. */
+  def close(): Unit = { dset.unpersist(): Unit }
 }

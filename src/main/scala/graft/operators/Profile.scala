@@ -280,14 +280,15 @@ object Profile {
     * per task). */
   def heavyHitters(docs: DataFrame, text: Column, topN: Int,
                    capacity: Int = 4096,
-                   maxCapacity: Int = 1 << 20): DataFrame = {
+                   maxCapacity: Int = 1 << 20,
+                   onRetry: HhRetry => Unit = logRetry): DataFrame = {
     require(topN > 0 && capacity >= topN, "need topN > 0 and capacity >= topN")
     require(maxCapacity >= capacity, "need maxCapacity >= capacity")
     var cap = capacity
     while (true) {
       heavyHittersOnce(docs, text, topN, cap) match {
         case Right(df) => return df
-        case Left(Insufficient(msg, sufficient)) =>
+        case Left(Insufficient(msg, mode, sufficient)) =>
           if (cap < maxCapacity) {
             // A failed attempt that still filled topN rows tells us the
             // EXACT capacity that provably clears: the observed rank-N
@@ -300,12 +301,7 @@ object Profile {
             val next = math.min(maxCapacity.toLong,
               math.max(cap.toLong * 2L,
                 sufficient.getOrElse(0L))).toInt
-            // surfacing each retry matters operationally: every retry is
-            // two more full corpus scans, so a silently-retrying call that
-            // looks "4x slow" should be diagnosable from the driver log
-            System.err.println(
-              s"heavyHitters: capacity $cap insufficient, retrying at " +
-                s"$next — $msg")
+            onRetry(HhRetry(cap, next, mode, msg))
             cap = next
           } else throw new graft.GraftException(
             s"$msg [self-sizing exhausted: capacity grew " +
@@ -315,9 +311,28 @@ object Profile {
     throw new IllegalStateException("unreachable")
   }
 
-  /** A failed bounded attempt: the reason, plus (when attempt filled all
-    * topN ranks) the capacity that provably suffices on retry. */
-  private final case class Insufficient(msg: String, sufficient: Option[Long])
+  /** One self-sizing retry of [[heavyHitters]]: the capacity jump and
+    * which failure mode forced it (`"fat-head"` — bound not cleared with
+    * all topN ranks filled; `"thin-candidates"` — fewer candidates than
+    * topN with uncovered stream mass). A typed hook rather than a log
+    * line so callers (and tests) can observe retry behavior without
+    * parsing stderr. */
+  final case class HhRetry(fromCapacity: Int, toCapacity: Int,
+                           mode: String, detail: String)
+
+  /** Default [[heavyHitters]] retry hook: surface the jump on the driver
+    * log — every retry is two more full corpus scans, so a silently
+    * retrying call that looks "4× slow" should be diagnosable. */
+  private def logRetry(r: HhRetry): Unit =
+    System.err.println(
+      s"heavyHitters: capacity ${r.fromCapacity} insufficient, retrying " +
+        s"at ${r.toCapacity} — ${r.detail}")
+
+  /** A failed bounded attempt: the reason, the failure mode (the
+    * [[HhRetry]] vocabulary), plus the capacity that provably suffices
+    * on retry. */
+  private final case class Insufficient(msg: String, mode: String,
+                                        sufficient: Option[Long])
 
   /** One bounded two-scan attempt at `capacity`; Left when the MG
     * bound cannot prove the answer at this capacity. */
@@ -366,6 +381,7 @@ object Profile {
                 s"non-candidate token could tie or beat it — raise " +
                 s"capacity (= $capacity) until the bound clears (flat " +
                 s"distributions have no heavy hitters to find)",
+              mode = "fat-head",
               sufficient = Some(total / math.max(1L, kth) + 1L)))
         } else {
           // fewer candidates than topN: only legitimate when the
@@ -391,6 +407,7 @@ object Profile {
                 s"topN=$topN and they cover $covered of $total stream " +
                 s"tokens — the vocabulary is flat enough that the sketch " +
                 s"evicted real ranks; raise capacity (= $capacity)",
+              mode = "thin-candidates",
               sufficient = Some(math.ceil(estD * 1.15).toLong)))
           }
         }

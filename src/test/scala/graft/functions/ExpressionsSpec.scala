@@ -131,4 +131,38 @@ class CollectSmallestSpec extends SparkSpecBase {
       .as[(Int, Seq[Long])].collect().toMap
     assert(got == Map(1 -> Seq(5L, 10L), 2 -> Seq(7L)))
   }
+
+  test("BpeSymbolPad/CollapseSpaces/SpaceCount match the regex forms " +
+      "byte-exactly (incl. multi-byte, supplementary, odd whitespace)") {
+    // differential against the regex pipeline the kernels replaced — run
+    // IN Spark so java.util.regex is the reference engine, same as the
+    // pre-kernel plan (DuckDB/RE2 parity stays pinned by the oracle)
+    val tricky = Seq("", "a", "ab", "a b", "  a  b  ", "a\tb", "\t",
+      "a\nbc\fd\re", "héllo wörld", "日本語 テスト", "a😀b",
+      "😀😀", " a ", "a  ", "  a", "ß", "é́")
+    val pieces = Seq("a", "b", " ", "  ", "\t", "\n", "", "\f", "\r",
+      "é", "日", "😀", "ç")
+    val rnd = new scala.util.Random(7)
+    val rand = (1 to 300).map(_ =>
+      (0 until rnd.nextInt(30)).map(_ => pieces(rnd.nextInt(pieces.length)))
+        .mkString)
+    val df = (tricky ++ rand).toDF("s")
+    val rows = df.select(
+      GraftFunctions.bpeSymbolPad($"s").as("pad_k"),
+      concat(lit(" "), regexp_replace($"s", "(\\S)", "$1  ")).as("pad_r"))
+      .select(col("pad_k"), col("pad_r"),
+        GraftFunctions.collapseSpaces($"pad_k").as("col_k"),
+        trim(regexp_replace($"pad_r", " +", " ")).as("col_r"))
+      .select(col("pad_k"), col("pad_r"), col("col_k"), col("col_r"),
+        GraftFunctions.spaceCount($"col_k").as("sc_k"),
+        (length($"col_r") -
+          length(regexp_replace($"col_r", " ", ""))).as("sc_r"))
+      .as[(String, String, String, String, Int, Int)].collect()
+    rows.foreach { case (padK, padR, colK, colR, scK, scR) =>
+      assert(padK == padR, s"pad mismatch: ${padK.getBytes("UTF-8").toSeq}" +
+        s" vs ${padR.getBytes("UTF-8").toSeq}")
+      assert(colK == colR, s"collapse mismatch: $colK vs $colR")
+      assert(scK == scR, s"spaceCount mismatch: $scK vs $scR on '$colK'")
+    }
+  }
 }

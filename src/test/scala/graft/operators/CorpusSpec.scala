@@ -742,6 +742,60 @@ class CorpusSpec extends SparkSpecBase {
       col("d"), mode = "allow").count() == 0)
   }
 
+  test("urlGate: per-batch gating ≡ batch urlFilter on both routes") {
+    val urls = Seq(
+      (1L, "https://ads.tracker.example.com/x"),
+      (2L, "https://tracker.example.com/y"),
+      (3L, "https://notbadsite.io/z"),
+      (4L, "https://cdn.badsite.io/q"),
+      (5L, "https://docs.example.com/r"),
+      (6L, "http://u:p@BADSITE.IO:8080/s"),
+      (7L, "not a url")
+    ).toDF("doc_id", "url")
+    val bl = Seq("tracker.example.com", "Badsite.io").toDF("d")
+    val want = Corpus.urlFilter(urls, col("doc_id"), col("url"), bl,
+      col("d")).select("doc_id").as[Long].collect().toSet
+    // the trained gate applied to two disjoint "micro-batches" must
+    // union to the batch verdicts — statelessness is the twin contract
+    val gate = Corpus.urlGate(bl, col("d"))
+    try {
+      val b1 = gate.filter(urls.filter(col("doc_id") <= 3), col("doc_id"),
+        col("url")).select("doc_id").as[Long].collect().toSet
+      val b2 = gate.filter(urls.filter(col("doc_id") > 3), col("doc_id"),
+        col("url")).select("doc_id").as[Long].collect().toSet
+      assert((b1 ++ b2) == want, s"$b1 ++ $b2 vs $want")
+    } finally gate.close()
+    // Bloom route (list over the broadcast threshold): same verdicts
+    val gateB = Corpus.urlGate(bl, col("d"), maxBroadcastDomains = 1L)
+    try {
+      val got = gateB.filter(urls, col("doc_id"), col("url"))
+      assert(got.queryExecution.executedPlan.toString
+        .contains("bloommightcontain"), "expected the sketch route")
+      assert(got.select("doc_id").as[Long].collect().toSet == want)
+    } finally gateB.close()
+    // empty list: deny keeps every batch row
+    val gateN = Corpus.urlGate(bl.filter(lit(false)), col("d"))
+    try assert(gateN.filter(urls, col("doc_id"), col("url")).count() == 7)
+    finally gateN.close()
+  }
+
+  test("bpeEncode executes at 512 merges; absent pairs are no-ops") {
+    // depth probe for the nested-replace projection (the documented
+    // practical bound ~1k): 3 real merges buried in 509 pairs that never
+    // occur — output must equal the 3-merge encode, and the 512-deep
+    // expression tree must survive analysis, optimization, and codegen
+    val real = Seq(("e", "s"), ("es", "t"), ("l", "o"))
+    val noops = (1 to 509).map(i => (s"q$i", s"z$i"))
+    val docs = Seq((1L, "low"), (2L, "newest"), (3L, "low newest"))
+      .toDF("doc_id", "text")
+    val want = Corpus.bpeEncode(docs, col("doc_id"), col("text"), real)
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    val got = Corpus.bpeEncode(docs, col("doc_id"), col("text"),
+        real ++ noops)
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(got == want, s"$got vs $want")
+  }
+
   // Sennrich et al. 2016's worked example: vocabulary low/lower/newest/
   // widest. Hand-derived merge sequence with exact weighted counts and
   // the pair-key tie-break at count 9 ("e s" vs "s t") and count 7

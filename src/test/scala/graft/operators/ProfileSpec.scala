@@ -248,25 +248,21 @@ class ProfileSpec extends SparkSpecBase {
     val docs = ((1 to 20).flatMap(i => Seq.fill(50)(f"h$i%02d")) ++
       (1 to 5000).map(i => s"t$i"))
       .grouped(10).map(_.mkString(" ")).toSeq.toDF("text")
-    val errBuf = new java.io.ByteArrayOutputStream()
-    val realErr = System.err
-    val got =
-      try {
-        System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
-        Profile.heavyHitters(docs, col("text"), topN = 10, capacity = 16)
-          .select("token", "cnt", "rank")
-          .as[(String, Long, Int)].collect().toSeq
-      } finally System.setErr(realErr)
+    val retries = scala.collection.mutable.ArrayBuffer.empty[Profile.HhRetry]
+    val got = Profile.heavyHitters(docs, col("text"), topN = 10,
+        capacity = 16, onRetry = retries += _)
+      .select("token", "cnt", "rank")
+      .as[(String, Long, Int)].collect().toSeq
     val want = docs.select(explode(split(trim(col("text")), "\\s+")).as("t"))
       .groupBy("t").count()
       .orderBy(col("count").desc, col("t").asc).limit(10)
       .collect().zipWithIndex
       .map { case (r, i) => (r.getString(0), r.getLong(1), i + 1) }.toSeq
     assert(got == want)
-    val retries = errBuf.toString("UTF-8").linesIterator
-      .count(_.contains("retrying at"))
-    assert(retries == 1,
-      s"computed jump must converge in exactly one retry, took $retries")
+    assert(retries.length == 1,
+      s"computed jump must converge in exactly one retry, took " +
+        s"${retries.length}: $retries")
+    assert(retries.head.mode == "fat-head", s"expected fat-head: $retries")
   }
 
   test("heavyHitters self-sizes on a thin-candidate corpus (starved topN)") {
@@ -279,24 +275,18 @@ class ProfileSpec extends SparkSpecBase {
     // four (25 → 50 → 100 → 200 → 400).
     val docs = (1 to 300).map(i => f"w$i%03d")
       .grouped(13).map(_.mkString(" ")).toSeq.toDF("text").coalesce(1)
-    val errBuf = new java.io.ByteArrayOutputStream()
-    val realErr = System.err
-    val got =
-      try {
-        System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
-        Profile.heavyHitters(docs, col("text"), topN = 25,
-            capacity = 25)
-          .select("token", "cnt", "rank")
-          .as[(String, Long, Int)].collect().toSeq
-      } finally System.setErr(realErr)
-    val retries = errBuf.toString("UTF-8").linesIterator
-      .count(_.contains("retrying at"))
-    assert(retries == 1,
-      s"thin-candidates computed jump must converge in one retry, took $retries")
+    val retries = scala.collection.mutable.ArrayBuffer.empty[Profile.HhRetry]
+    val got = Profile.heavyHitters(docs, col("text"), topN = 25,
+        capacity = 25, onRetry = retries += _)
+      .select("token", "cnt", "rank")
+      .as[(String, Long, Int)].collect().toSeq
+    assert(retries.length == 1,
+      s"thin-candidates computed jump must converge in one retry, took " +
+        s"${retries.length}: $retries")
     // and it must be the THIN failure mode that retried (candidate
     // shortfall), not the fat-head bound
-    assert(errBuf.toString("UTF-8").contains("they cover"),
-      s"expected the thin-candidates diagnostic, got:\n$errBuf")
+    assert(retries.head.mode == "thin-candidates",
+      s"expected the thin-candidates mode, got: $retries")
     val want = docs.select(explode(split(trim(col("text")), "\\s+")).as("t"))
       .groupBy("t").count()
       .orderBy(col("count").desc, col("t").asc).limit(25)

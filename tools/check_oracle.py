@@ -36,21 +36,31 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.loc[order].reset_index(drop=True)
 
 
-def eq(a, b) -> bool:
-    if a is None and b is None:
-        return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return a == b
-    if isinstance(a, tuple) and isinstance(b, tuple):
-        return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
+def sform(v) -> str:
+    """The driver compares md5 over STRINGIFIED cell values, so the only
+    faithful local check is string-form equality. Python `==` is wrong
+    here: 4568 == 4568.0 is True but the driver hashes "4568" vs
+    "4568.0" — exactly the bpe_train r11 escape (HUGEINT sum rendered as
+    float64 by fetchdf). NaN/None collapse to one token because a DuckDB
+    NULL lands as NaN in float columns but None in object columns, while
+    Spark parquet may do the reverse; the driver's reader pairs like with
+    like, so the local check must not flag that representational split."""
+    if v is None:
+        return "<null>"
+    if isinstance(v, float) and math.isnan(v):
+        return "<null>"
+    if isinstance(v, tuple):
+        return "[" + ", ".join(sform(x) for x in v) + "]"
     try:
-        if pd.isna(a) and pd.isna(b):
-            return True
+        if pd.isna(v):
+            return "<null>"
     except (TypeError, ValueError):
         pass
-    return a == b
+    return str(v)
+
+
+def eq(a, b) -> bool:
+    return sform(a) == sform(b)
 
 
 def main(outdir: str, sfdir: str, only=None) -> int:
@@ -96,6 +106,16 @@ def main(outdir: str, sfdir: str, only=None) -> int:
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
             fails += 1
             continue
+        # dtype audit: int-vs-float drift between the engine parquet and
+        # DuckDB's fetchdf is the class that produced the r11 bpe_train
+        # escape. A pure width difference (int32 vs int64) stringifies
+        # identically so it's a warning; int-vs-float will additionally
+        # fail the string compare below on any non-integral value.
+        for c in got.columns:
+            gk, wk = got[c].dtype.kind, want[c].dtype.kind
+            if gk != wk and {gk, wk} <= {"i", "u", "f"}:
+                print(f"warn {name}: dtype drift col {c}: "
+                      f"spark={got[c].dtype} duck={want[c].dtype}")
         bad = None
         for i in range(len(got)):
             for c in got.columns:
