@@ -852,8 +852,12 @@ object Corpus {
     * order-independent; the final score adds one Gumbel double in a
     * single IEEE op — bit-identical in any engine evaluating the same
     * expression. Scale shape: both count tables are map-side-combinable
-    * groupBys; scoring joins the raw token stream on the word key (Zipf
-    * skew is AQE's skew-join case); corpus sizes and the joint vocabulary
+    * groupBys, and the scorer collapses to ONE vocab-scale (w, lw) table
+    * (r12, the lmPerplexity device — per-type math, not per-occurrence)
+    * that the token stream equi-joins once, AQE broadcast-converting
+    * from the materialized small stage (residual at web-scale
+    * vocabularies: one shuffle join on the word key, Zipf skew being
+    * AQE's skew-split case); corpus sizes and the joint vocabulary
     * ride in as ONE broadcast row; the top-K is Spark's per-partition
     * partial top-K (TakeOrderedAndProject), never a global sort. The raw
     * frame is read twice — once exploded to tokens, once ids-only for the
@@ -877,16 +881,23 @@ object Corpus {
       .agg(count(lit(1)).as("vocab"),
         coalesce(sum(col("cr")), lit(0L)).as("nr"),
         coalesce(sum(col("ct")), lit(0L)).as("nt"))
-    val scored = rawToks
-      .join(cr, Seq("w")) // every raw token has a raw count
+    // the whole scorer collapses to one vocab-scale (w, lw) table before
+    // the corpus-scale join (the r12 lmPerplexity device): the log-ratio
+    // depends only on the word, so the log/round/decimal math runs once
+    // per TYPE and the token stream pays a single equi-join that AQE
+    // broadcast-converts from the materialized (small) lw stage — never
+    // two per-occurrence joins
+    val lw = cr
       .join(ct, Seq("w"), "left_outer")
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"),
+      .select(col("w"),
         (round(log((coalesce(col("ct"), lit(0L)) + lit(k)) /
           (col("nt") + lit(k) * col("vocab"))), 6).cast("decimal(18,6)") -
           round(log((col("cr") + lit(k)) /
             (col("nr") + lit(k) * col("vocab"))), 6).cast("decimal(18,6)"))
           .as("lw"))
+    val scored = rawToks.join(lw, Seq("w")) // every raw token has a count
+      .select(col("doc_id"), col("lw"))
     val perDoc = scored.groupBy(col("doc_id")).agg(sum(col("lw")).as("slw"))
     // (hex32 + 0.5) / 2^32 ∈ (0,1) strictly: never 0 or 1, so the Gumbel
     // transform is finite for every id in both engines
