@@ -12,9 +12,12 @@ import graft.operators.Corpus
   * (every 32 merges) shows up. The driver corpus has a 31-word vocabulary
   * (merges exhaust at 89), so long runs use a SYNTHETIC wide vocabulary:
   * `synth:N` builds N distinct base-26 8-letter words (freq 1 each) —
-  * enough pair diversity for thousands of real merges. Usage:
+  * enough pair diversity for thousands of real merges. `local:VOCAB:N`
+  * runs [[Corpus.bpeTrainLocal]] (the driver-side loop bpeTrainAuto
+  * routes to) on the same synthetic substrate — the distributed-vs-local
+  * rate pair is the routing receipt. Usage:
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-  *     sbt "runMain graft.BpeLoopExperiment [N | synth:VOCAB:N]..."
+  *     sbt "runMain graft.BpeLoopExperiment [N | synth:VOCAB:N | local:VOCAB:N]..."
   * Prints one line per run: merges requested/done, wall secs, merges/sec,
   * plus a vocab-size line per substrate.
   */
@@ -43,14 +46,18 @@ object BpeLoopExperiment {
           s"${math.pow(26, i).toLong}, 26)"))): _*).as("text"))
     runs.foreach { spec =>
       val (docs, label) =
-        if (spec.startsWith("synth:")) {
+        if (spec.startsWith("synth:") || spec.startsWith("local:")) {
           val Array(_, v, n) = spec.split(":")
-          (synth(v.toInt), s"synth($v words) merges=$n")
+          (synth(v.toInt), s"${spec.split(":").head}($v words) merges=$n")
         } else (real, s"driver($sfDir) merges=$spec")
       val n = spec.split(":").last.toInt
       println(s"BPEEXP substrate=$label distinct_words=${vocabOf(docs)}")
+      val train: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column,
+        Int) => org.apache.spark.sql.DataFrame =
+        if (spec.startsWith("local:")) Corpus.bpeTrainLocal
+        else Corpus.bpeTrain
       val t0 = System.nanoTime()
-      val got = Corpus.bpeTrain(docs, col("text"), numMerges = n).collect()
+      val got = train(docs, col("text"), n).collect()
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"BPEEXP $label done=${got.length} wall=$secs%.1f s " +
         f"rate=${got.length / secs}%.2f merges/s")

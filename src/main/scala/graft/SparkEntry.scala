@@ -1553,6 +1553,17 @@ object SparkEntry {
     "bpe_train" -> ((s, d) =>
       Corpus.bpeTrain(T(s, d, "documents"), col("text"), numMerges = 10)),
 
+    // The deployment form: bpeTrainAuto routes by MEASURED vocabulary
+    // type count — under the 2^22-type cap it collects the Heaps'-law
+    // (word, freq) frame and runs the merge loop ON THE DRIVER (the
+    // production-BPE-trainer shape: ~260 ms/merge of Spark job
+    // scheduling drops to in-core microseconds, 30k merges become
+    // seconds), above it the all-executor loop. Shares bpe_train's
+    // oracle verbatim: bit-identical merges are the routing contract.
+    "bpe_train_auto" -> ((s, d) =>
+      Corpus.bpeTrainAuto(T(s, d, "documents"), col("text"),
+        numMerges = 10)),
+
     // BPE tokenizer APPLICATION: encode every document with the merge
     // table trained on the same corpus (rank-order replace passes, word-
     // local by the symbol-string construction). Output is per-doc BPE
@@ -1565,6 +1576,21 @@ object SparkEntry {
         .collect() // ≤ numMerges rows — the tokenizer artifact, driver-sized
         .map(r => (r.getString(1), r.getString(2))).toSeq
       Corpus.bpeEncode(docs, col("doc_id"), col("text"), merges)
+    }),
+
+    // The real-vocabulary encode shape (30k+ merges, past any nested-
+    // replace projection): every DISTINCT word encoded once by the
+    // priority-order tokenizer loop, the dictionary broadcast, the corpus
+    // paying one lookup per token. Trains with the driver-local loop and
+    // must reproduce bpe_encode's per-document hashes bit-for-bit — the
+    // oracle is shared verbatim.
+    "bpe_encode_vocab" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val merges = Corpus.bpeTrainLocal(docs, col("text"), numMerges = 10)
+        .orderBy(col("rank"))
+        .collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Corpus.bpeEncodeVocab(docs, col("doc_id"), col("text"), merges)
     }),
 
     // URL/domain filtering (RefinedWeb §3.1): drop every doc whose URL
@@ -3221,6 +3247,17 @@ object SparkEntry {
            | CAST(n AS BIGINT) AS freq
            |FROM m$i""".stripMargin).mkString("\nUNION ALL\n")),
 
+    // the auto-routed trainer must reproduce bpe_train's merge table
+    // bit-for-bit — same oracle, word for word
+    "bpe_train_auto" -> (bpeTrainCtes(10) + "\n" +
+      (0 until 10).map(i =>
+        s"""SELECT CAST(${i + 1} AS INT) AS rank,
+           | split_part(pair, '  ', 1) AS p1,
+           | split_part(pair, '  ', 2) AS p2,
+           | replace(pair, '  ', '') AS merged,
+           | CAST(n AS BIGINT) AS freq
+           |FROM m$i""".stripMargin).mkString("\nUNION ALL\n")),
+
     "bpe_encode" -> (bpeTrainCtes(10) + ",\n" +
       s"""enc AS (SELECT doc_id, trim(regexp_replace(
          |    ${(0 until 10).foldLeft(
@@ -3229,6 +3266,25 @@ object SparkEntry {
                  // no stripMargin here: the caller strips the COMBINED
                  // string, and a second pass would eat the line-leading
                  // '||' operators as margin bars
+                 s"replace($acc,\n" +
+                   s"      coalesce(' ' || (SELECT pair FROM m$i) || ' ', chr(1)),\n" +
+                   s"      coalesce(' ' || replace((SELECT pair FROM m$i), " +
+                   s"'  ', '') || ' ', chr(1)))"
+             }},
+         |    ' +', ' ', 'g')) AS syms, text FROM documents)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(string_split(syms, ' ')) END AS BIGINT) AS n_tok_bpe,
+         |  md5(syms) AS syms_md5
+         |FROM enc""".stripMargin),
+
+    // the dictionary encode must reproduce the sequential replace pass —
+    // bpe_encode's oracle, word for word
+    "bpe_encode_vocab" -> (bpeTrainCtes(10) + ",\n" +
+      s"""enc AS (SELECT doc_id, trim(regexp_replace(
+         |    ${(0 until 10).foldLeft(
+               "' ' || regexp_replace(trim(text), '(\\S)', '\\1  ', 'g')") {
+               case (acc, i) =>
                  s"replace($acc,\n" +
                    s"      coalesce(' ' || (SELECT pair FROM m$i) || ' ', chr(1)),\n" +
                    s"      coalesce(' ' || replace((SELECT pair FROM m$i), " +

@@ -698,12 +698,29 @@ object Corpus {
     * and retries. Stops early (fewer rows) when no pair remains. */
   def bpeTrain(docs: DataFrame, text: Column, numMerges: Int): DataFrame = {
     require(numMerges > 0, "need numMerges > 0")
-    val spark = docs.sparkSession
-    val vocab0 = docs
-      .select(explode(TextFunctions.tokens(text)).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"), bpeSymbolString(col("w")).as("p"))
+    bpeLoopDistributed(bpeVocab(docs, text), numMerges)
+  }
+
+  /** The (freq, padded-symbol-string) vocabulary frame every BPE training
+    * loop iterates — the ONLY corpus-sized scan in training (Heaps' law
+    * keeps its row count orders of magnitude below the corpus). */
+  private def bpeVocab(docs: DataFrame, text: Column): DataFrame = docs
+    .select(explode(TextFunctions.tokens(text)).as("w"))
+    .filter(length(col("w")) > 0)
+    .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    .select(col("freq"), bpeSymbolString(col("w")).as("p"))
+
+  /** [[bpeTrain]]'s executor-side merge loop over a prepared vocab frame:
+    * one combinable pair-count aggregation + one map-only replace
+    * projection per merge. Right at any vocabulary size, but each merge
+    * is a full Spark job — measured ~3.8 merges/s on a 50k-type
+    * vocabulary at local[32] (job scheduling, not counting, is the
+    * floor), which prices a real 30k-merge run at ~2 h. [[bpeTrainAuto]]
+    * routes around that whenever the vocab frame fits the driver. */
+  private def bpeLoopDistributed(vocabDf: DataFrame,
+                                 numMerges: Int): DataFrame = {
+    val spark = vocabDf.sparkSession
+    val vocab0 = vocabDf
     // ONE anchored base + a short stack of lazy map-only projections on
     // top of it, cut eagerly every bpeCheckpointEvery merges. Persisting
     // EVERY iteration's frame instead (the obvious formulation) nests k
@@ -758,6 +775,184 @@ object Corpus {
     * bounded; runs shorter than this never pay one. */
   private[operators] val bpeCheckpointEvery = 32
 
+  /** BPE tokenizer training with the merge loop run ON THE DRIVER over
+    * the collected vocabulary — the shape every production BPE trainer
+    * uses, because after the corpus collapses to (word, freq) types the
+    * loop's working set is Heaps'-law small while its 30k iterations are
+    * inherently sequential: as distributed jobs they cost ~260 ms EACH in
+    * scheduling alone (~3.8 merges/s measured at local[32] on a 50k-type
+    * vocab — ~2 h for a real vocabulary), while locally the same
+    * incremental statistics run at thousands of merges/s. Cluster work
+    * stays one aggregation: the corpus-sized tokenize+count is the same
+    * Spark scan [[bpeTrain]] runs; only the vocab frame (a few hundred
+    * bytes per TYPE — ~200 MB at 4M types, the [[bpeTrainAuto]] cap) ever
+    * reaches the driver.
+    *
+    * Bit-equivalence to [[bpeTrain]] (CorpusSpec pins it, and the query
+    * twin shares bpe_train's DuckDB oracle): counts are the same exact
+    * per-adjacent-position (overlapping) integers; ties break on the pair
+    * key compared as UNSIGNED UTF-8 BYTES — Spark's binary string order;
+    * Java's String.compareTo would disagree wherever a supplementary
+    * code point meets U+E000..U+FFFF — and each merge is the same literal
+    * non-overlapping left-to-right replace of " p1  p2 " (Java
+    * String.replace ≡ UTF8String.replace on these space-delimited
+    * symbol strings).
+    *
+    * Loop internals: pair statistics update INCREMENTALLY (only words
+    * containing the merged pair are recounted — the Sennrich reference
+    * trainer's device) through a pair→word-ids index, and the arg-max is
+    * a lazy-deletion max-heap (stale entries pop until one matches the
+    * live count), so a merge costs O(affected words · their symbols),
+    * never a vocabulary scan. */
+  def bpeTrainLocal(docs: DataFrame, text: Column,
+                    numMerges: Int): DataFrame = {
+    require(numMerges > 0, "need numMerges > 0")
+    val spark = docs.sparkSession
+    val rows = bpeVocab(docs, text).collect()
+    bpeLoopLocal(rows.map(r => (r.getLong(0), r.getString(1))),
+      numMerges, spark)
+  }
+
+  /** Vocabulary-type cap under which [[bpeTrainAuto]] collects the vocab
+    * frame and trains locally. The honest budget is the LOOP's working
+    * set, not the frame: the incremental pair→word-ids index holds one
+    * boxed entry per (word, adjacent pair) — ~50 B × ~15 pairs/word ≈
+    * 3 GB at the 2^22 cap, inside the project's 8 GB driver with the
+    * ~200 MB collected frame and Heaps'-law pair-count map on top. Far
+    * past real tokenizer-training vocabularies (frequency-capped word
+    * lists are ~10^5..10^6 types) while three decimal orders under the
+    * corpus row count even at sf100. */
+  private[operators] val bpeLocalMaxTypes: Long = 1L << 22
+
+  /** BPE training routed by MEASURED vocabulary size (the
+    * decontaminateAuto device): collect-and-loop-locally when the
+    * (word, freq) frame has at most `localMaxTypes` rows — thousands of
+    * merges/s, the right branch for every real corpus, since Heaps' law
+    * puts even a 100 TB web crawl's frequency-capped type count well
+    * under the cap — else fall back to the all-executor
+    * [[bpeLoopDistributed]] loop, which never ships the frame to the
+    * driver. Both branches consume the SAME persisted vocab frame (one
+    * corpus scan total, routing scan included) and emit bit-identical
+    * merge tables. */
+  def bpeTrainAuto(docs: DataFrame, text: Column, numMerges: Int,
+                   localMaxTypes: Long = bpeLocalMaxTypes): DataFrame = {
+    require(numMerges > 0, "need numMerges > 0")
+    val spark = docs.sparkSession
+    val vocab = bpeVocab(docs, text).persist()
+    try {
+      if (vocab.count() <= localMaxTypes)
+        bpeLoopLocal(vocab.collect().map(r => (r.getLong(0), r.getString(1))),
+          numMerges, spark)
+      else bpeLoopDistributed(vocab, numMerges)
+    } finally vocab.unpersist()
+  }
+
+  /** [[bpeTrainLocal]]'s in-memory merge loop: same statistics, same
+    * tie-breaks, same replace semantics as [[bpeLoopDistributed]], at
+    * in-core speed. */
+  private def bpeLoopLocal(vocab: Array[(Long, String)], numMerges: Int,
+                           spark: org.apache.spark.sql.SparkSession)
+      : DataFrame = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val freqs = vocab.map(_._1)
+    val words = vocab.map(_._2) // padded symbol strings, mutated in place
+    // "p1  p2" pair keys of a padded symbol string, one per adjacent
+    // position (overlapping occurrences count — the Sennrich statistic,
+    // identical to bpePairKeys)
+    def pairsOf(p: String): Array[String] = {
+      val s = p.trim.split(" +")
+      if (s.length < 2) Array.empty[String]
+      else Array.tabulate(s.length - 1)(i => s(i) + "  " + s(i + 1))
+    }
+    // Spark orders StringType by unsigned UTF-8 bytes; reproduce exactly
+    def byteCompare(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+    final case class Cand(key: String, count: Long, bytes: Array[Byte])
+    val heap = new java.util.PriorityQueue[Cand](
+      math.max(16, vocab.length),
+      (x: Cand, y: Cand) =>
+        if (x.count != y.count) java.lang.Long.compare(y.count, x.count)
+        else byteCompare(x.bytes, y.bytes))
+    val counts = new java.util.HashMap[String, java.lang.Long]()
+    val wordsWith = new java.util.HashMap[String, java.util.HashSet[Int]]()
+    def bump(key: String, delta: Long): Unit = {
+      val now = counts.merge(key, java.lang.Long.valueOf(delta),
+        (a, b) => java.lang.Long.valueOf(a.longValue() + b.longValue()))
+      if (now.longValue() <= 0L) counts.remove(key)
+    }
+    var i = 0
+    while (i < words.length) {
+      val f = freqs(i)
+      for (k <- pairsOf(words(i))) {
+        bump(k, f)
+        wordsWith.computeIfAbsent(k, _ => new java.util.HashSet[Int]())
+          .add(i)
+      }
+      i += 1
+    }
+    counts.forEach((k, v) =>
+      heap.add(Cand(k, v.longValue(), k.getBytes(UTF_8))))
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      // lazy deletion: pop until the head's count matches the live map
+      var best: Cand = null
+      while (best == null && !heap.isEmpty) {
+        val c = heap.poll()
+        if (counts.get(c.key) match {
+              case null => false
+              case v    => v.longValue() == c.count
+            }) best = c
+      }
+      if (best == null) done = true
+      else {
+        val Array(p1, p2) = best.key.split("  ", 2)
+        merges += ((rank + 1, p1, p2, p1 + p2, best.count))
+        if (rank + 1 < numMerges) {
+          val pattern = " " + best.key + " "
+          val repl = " " + p1 + p2 + " "
+          val touched = wordsWith.remove(best.key)
+          if (touched != null) {
+            val changed = new java.util.HashSet[String]()
+            touched.forEach { idx =>
+              val w = words(idx)
+              if (w.contains(pattern)) { // stale index entries skip
+                val f = freqs(idx)
+                for (k <- pairsOf(w)) { bump(k, -f); changed.add(k) }
+                val nw = w.replace(pattern, repl)
+                words(idx) = nw
+                for (k <- pairsOf(nw)) {
+                  bump(k, f); changed.add(k)
+                  wordsWith
+                    .computeIfAbsent(k, _ => new java.util.HashSet[Int]())
+                    .add(idx)
+                }
+              }
+            }
+            changed.forEach { k =>
+              val v = counts.get(k)
+              if (v != null) heap.add(Cand(k, v.longValue(),
+                k.getBytes(UTF_8)))
+            }
+          }
+        }
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "p1", "p2", "merged", "freq")
+  }
+
   /** BPE tokenizer APPLICATION: encode every document with a learned
     * merge list (`(p1, p2)` in rank order, from [[bpeTrain]]'s output),
     * returning per document the BPE token count and an md5 of the
@@ -776,17 +971,14 @@ object Corpus {
     * for real vocabularies.
     *
     * Merge-count bound: the nested-replace tree is linear in numMerges
-    * and measured fine at 512 merges (CorpusSpec's depth probe — analysis +
-    * optimizer + codegen all single-pass over the tree; codegen splits
+    * and reliable at 256 merges (CorpusSpec's depth probe; codegen splits
     * oversized methods itself). It is NOT the shape for a real 30k-merge
-    * vocabulary: Catalyst's transform recursion stacks one frame per
-    * node (~10k merges risks StackOverflow on default -Xss) and plan
-    * instantiation alone is O(numMerges) per query. At that scale encode
-    * in ranked chunks of ≤1k merges with a `localCheckpoint()` between
-    * chunks (the [[bpeTrain]] lineage-cut device — sequential-replace
-    * semantics compose across chunks verbatim), or precompute the
-    * per-word encoding over the DISTINCT-word vocabulary (Heaps'-law
-    * small) and join it back. */
+    * vocabulary: Catalyst's Column→Expression and transform recursions
+    * stack several frames per node — 512 merges already StackOverflowed
+    * a default-stack test thread, so 256 is the honest per-projection
+    * bound. At real vocabulary scale use [[bpeEncodeVocab]]: encode each
+    * DISTINCT word once over the Heaps'-law vocab frame and join back —
+    * no expression tree grows with the merge count at all. */
   def bpeEncode(docs: DataFrame, id: Column, text: Column,
                 merges: Seq[(String, String)]): DataFrame = {
     val sym0 = bpeSymbolString(trim(text))
@@ -798,6 +990,99 @@ object Corpus {
     // A single-spaced non-empty string has exactly spaces+1 tokens — no
     // split-array allocation on the hot path.
     val norm = graft.functions.GraftFunctions.collapseSpaces(enc)
+    docs.select(id.as("doc_id"),
+      when(length(trim(text)) === 0, lit(0L))
+        .otherwise((graft.functions.GraftFunctions.spaceCount(norm) +
+          lit(1)).cast("long")).as("n_tok_bpe"),
+      md5(norm).as("syms_md5"))
+  }
+
+  /** BPE encode at REAL vocabulary scale (30k+ merges, where
+    * [[bpeEncode]]'s nested-replace projection cannot go): encode each
+    * DISTINCT word exactly once, then apply the word→symbols dictionary
+    * corpus-wide as a map-only pass. Two Heaps'-law facts make this the
+    * right 100 TB shape: the distinct-word frame is orders of magnitude
+    * smaller than the corpus (one aggregation, the only shuffle in the
+    * operator), and each word's encode touches only the merges that
+    * actually fire in it (priority-order, O(len·applied) — never a scan
+    * of the 30k-merge table), so total encode work is
+    * O(types · word-length), independent of corpus size. The dictionary
+    * ships to executors as ONE broadcast (a few hundred MB at the 2^22
+    * [[bpeLocalMaxTypes]] cap); scoring is a dictionary lookup per token
+    * inside one projection — no join, no per-doc shuffle, and the output
+    * schema and values match [[bpeEncode]] exactly.
+    *
+    * Equivalence contract (CorpusSpec pins it, and the query twin shares
+    * bpe_encode's oracle): `merges` must be a TRAINING OUTPUT in rank
+    * order (every pair that names a merged symbol ranks after the merge
+    * that created it — true of every [[bpeTrain]]/[[bpeTrainLocal]]
+    * table). Under that invariant, repeatedly applying the
+    * lowest-ranked pair present in a word — the standard tokenizer
+    * encode loop — reproduces the sequential all-merges replace pass
+    * bit-for-bit: a merge can only ever CREATE pairs that rank after
+    * itself, so no lower-ranked pair can reappear once passed.
+    * Whitespace precondition: token gaps must be plain spaces (tokens =
+    * `\s+` splits); a non-space whitespace byte glued inside a gap stays
+    * in [[bpeEncode]]'s output but not in a token stream. */
+  def bpeEncodeVocab(docs: DataFrame, id: Column, text: Column,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    val rankOf: Map[(String, String), Int] =
+      merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    // the standard per-word encode: split to code points, then merge the
+    // lowest-ranked adjacent pair present (all its non-overlapping
+    // occurrences, left to right) until none of the table's pairs remain
+    def encodeWord(w: String): String = {
+      var syms = new scala.collection.mutable.ArrayBuffer[String](w.length)
+      var ci = 0
+      while (ci < w.length) {
+        val cp = w.codePointAt(ci)
+        val n = Character.charCount(cp)
+        syms += w.substring(ci, ci + n)
+        ci += n
+      }
+      var continue = true
+      while (continue && syms.length >= 2) {
+        var bestRank = Int.MaxValue
+        var i = 0
+        while (i < syms.length - 1) {
+          rankOf.get((syms(i), syms(i + 1))) match {
+            case Some(r) if r < bestRank => bestRank = r
+            case _ =>
+          }
+          i += 1
+        }
+        if (bestRank == Int.MaxValue) continue = false
+        else {
+          val (p1, p2) = merges(bestRank)
+          val next = new scala.collection.mutable.ArrayBuffer[String](
+            syms.length)
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == p1 && syms(j + 1) == p2) {
+              next += p1 + p2; j += 2 // left-to-right, non-overlapping
+            } else { next += syms(j); j += 1 }
+          }
+          syms = next
+        }
+      }
+      syms.mkString(" ")
+    }
+    // the Heaps'-law dictionary: every distinct word encoded ONCE
+    import spark.implicits._
+    val types = docs.select(explode(TextFunctions.tokens(text)).as("w"))
+      .filter(length(col("w")) > 0).distinct().as[String].collect()
+    val dict = spark.sparkContext.broadcast(
+      types.iterator.map(w => w -> encodeWord(w)).toMap)
+    // per-token dictionary lookup (fallback encode covers words outside
+    // the dictionary corpus); a UDF is the honest tool here — a
+    // broadcast-map probe has no codegen-expression form
+    val encDoc = udf((toks: Seq[String]) => {
+      val d = dict.value
+      toks.iterator.filter(_.nonEmpty)
+        .map(w => d.getOrElse(w, encodeWord(w))).mkString(" ")
+    })
+    val norm = encDoc(TextFunctions.tokens(text))
     docs.select(id.as("doc_id"),
       when(length(trim(text)) === 0, lit(0L))
         .otherwise((graft.functions.GraftFunctions.spaceCount(norm) +

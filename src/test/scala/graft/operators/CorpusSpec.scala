@@ -779,13 +779,15 @@ class CorpusSpec extends SparkSpecBase {
     finally gateN.close()
   }
 
-  test("bpeEncode executes at 512 merges; absent pairs are no-ops") {
-    // depth probe for the nested-replace projection (the documented
-    // practical bound ~1k): 3 real merges buried in 509 pairs that never
-    // occur — output must equal the 3-merge encode, and the 512-deep
-    // expression tree must survive analysis, optimization, and codegen
+  test("bpeEncode executes at 256 merges; absent pairs are no-ops") {
+    // depth probe for the nested-replace projection at the documented
+    // practical bound (256): 3 real merges buried in 253 pairs that never
+    // occur — output must equal the 3-merge encode, and the 256-deep
+    // expression tree must survive analysis, optimization, and codegen.
+    // (512 was observed to StackOverflow Catalyst's Column→Expression
+    // recursion DEPENDING ON THREAD stack state — not a safe bound.)
     val real = Seq(("e", "s"), ("es", "t"), ("l", "o"))
-    val noops = (1 to 509).map(i => (s"q$i", s"z$i"))
+    val noops = (1 to 253).map(i => (s"q$i", s"z$i"))
     val docs = Seq((1L, "low"), (2L, "newest"), (3L, "low newest"))
       .toDF("doc_id", "text")
     val want = Corpus.bpeEncode(docs, col("doc_id"), col("text"), real)
@@ -844,6 +846,61 @@ class CorpusSpec extends SparkSpecBase {
     assert(m.head.getString(1) == "0" && m.head.getString(2) == "1")
   }
 
+  test("bpeTrainLocal ≡ bpeTrain: Sennrich fixture, exhaustion, overlap") {
+    val local = Corpus.bpeTrainLocal(bpeDocs, col("text"), 3)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(local == Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "l", "o", "lo", 7L)), local.toString)
+    // run both loops PAST exhaustion: early stop at the same rank
+    val deep = Corpus.bpeTrain(bpeDocs, col("text"), 50).collect().toSeq
+    val deepL = Corpus.bpeTrainLocal(bpeDocs, col("text"), 50)
+      .collect().toSeq
+    assert(deepL == deep, "local loop diverged from the executor loop")
+    // overlapping occurrences: "aaaa" counts (a,a) at every adjacent
+    // position (3), and the non-overlapping left-to-right replace leaves
+    // [aa, aa] — both statistics and application must agree
+    val over = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val wantO = Seq((1, "a", "a", "aa", 3L), (2, "aa", "aa", "aaaa", 1L))
+    assert(Corpus.bpeTrain(over, col("text"), 5)
+      .as[(Int, String, String, String, Long)].collect().toSeq == wantO)
+    assert(Corpus.bpeTrainLocal(over, col("text"), 5)
+      .as[(Int, String, String, String, Long)].collect().toSeq == wantO)
+  }
+
+  test("bpeTrainLocal ties break on UTF-8 bytes, not UTF-16 code units") {
+    // (a,U+FFFD) and (a,U+1F600) tie at count 1. UTF-8 orders
+    // EF BF BD < F0 9F 98 80; UTF-16 would order D83D DE00 < FFFD —
+    // a String.compareTo tie-break picks the OTHER pair than Spark
+    val t = Seq((1L, "a�"), (2L, "a😀"))
+      .toDF("doc_id", "text")
+    val d = Corpus.bpeTrain(t, col("text"), 1).collect().toSeq
+    val l = Corpus.bpeTrainLocal(t, col("text"), 1).collect().toSeq
+    assert(l == d, s"local $l vs executor $d")
+    assert(l.head.getString(2) == "�")
+  }
+
+  test("bpeTrainLocal incremental statistics survive a wide corpus") {
+    // 1000 docs / 10k distinct words: the pair→word index and lazy-heap
+    // path sees real churn; both loops must emit the identical table
+    val d = Corpus.bpeTrain(docs, col("text"), 10)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val l = Corpus.bpeTrainLocal(docs, col("text"), 10)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(l == d)
+  }
+
+  test("bpeTrainAuto routes by measured type count, both branches exact") {
+    val want = Corpus.bpeTrain(bpeDocs, col("text"), 3).collect().toSeq
+    // default cap: 4 types ≤ 2^22 → driver-local branch
+    assert(Corpus.bpeTrainAuto(bpeDocs, col("text"), 3)
+      .collect().toSeq == want)
+    // cap 0: forced executor branch over the SAME persisted vocab frame
+    assert(Corpus.bpeTrainAuto(bpeDocs, col("text"), 3, localMaxTypes = 0)
+      .collect().toSeq == want)
+  }
+
   test("bpeEncode applies merges in rank order, word-locally") {
     val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"))
     val enc = Corpus.bpeEncode(
@@ -870,6 +927,34 @@ class CorpusSpec extends SparkSpecBase {
     // low×5 → [lo w]×5 = 10; lower×2 → [lo w e r]×2 = 8;
     // newest×6 → [n e w est]×6 = 24; widest×3 → [w i d est]×3 = 12
     assert(enc.map(_._2).toSeq == Seq(10L, 8L, 24L, 12L))
+  }
+
+  test("bpeEncodeVocab ≡ bpeEncode on trained merge tables") {
+    val fixtures = Seq(
+      // the Sennrich corpus, 3 trained merges
+      (bpeDocs, Corpus.bpeTrain(bpeDocs, col("text"), 3)),
+      // overlap-heavy: "aaaaa aaa" exercises the left-to-right
+      // non-overlapping pass against the priority loop
+      (Seq((1L, "aaaaa aaa"), (2L, ""), (3L, "a")).toDF("doc_id", "text"),
+        Corpus.bpeTrain(Seq((1L, "aaaa")).toDF("doc_id", "text"),
+          col("text"), 5)))
+    for ((d, trained) <- fixtures) {
+      val merges = trained.orderBy("rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val want = Corpus.bpeEncode(d, col("doc_id"), col("text"), merges)
+        .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+      val got = Corpus.bpeEncodeVocab(d, col("doc_id"), col("text"), merges)
+        .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+      assert(got == want, s"vocab-dict encode diverged: $got vs $want")
+    }
+    // absent pairs are no-ops in both forms
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("q", "z"))
+    val want = Corpus.bpeEncode(bpeDocs, col("doc_id"), col("text"), merges)
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    val got = Corpus.bpeEncodeVocab(bpeDocs, col("doc_id"), col("text"),
+        merges)
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(got == want)
   }
 
   test("bpeEncode is map-only — no exchange, single pass") {
