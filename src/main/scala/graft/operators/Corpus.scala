@@ -1139,10 +1139,11 @@ object Corpus {
     * expression. Scale shape: both count tables are map-side-combinable
     * groupBys, and the scorer collapses to ONE vocab-scale (w, lw) table
     * (r12, the lmPerplexity device — per-type math, not per-occurrence)
-    * that the token stream equi-joins once, AQE broadcast-converting
-    * from the materialized small stage (residual at web-scale
-    * vocabularies: one shuffle join on the word key, Zipf skew being
-    * AQE's skew-split case); corpus sizes and the joint vocabulary
+    * that the token stream equi-joins once — broadcast-converted on
+    * small corpora, hinted SHUFFLE_HASH past [[lmShuffleHashMinDocs]]
+    * (the sort-merge fallback's occurrence-stream sort spilled 22 GB at
+    * sf100; Zipf skew remains AQE's skew-split case); corpus sizes and
+    * the joint vocabulary
     * ride in as ONE broadcast row; the top-K is Spark's per-partition
     * partial top-K (TakeOrderedAndProject), never a global sort. The raw
     * frame is read twice — once exploded to tokens, once ids-only for the
@@ -1152,7 +1153,8 @@ object Corpus {
   def dsirSample(raw: DataFrame, id: Column, text: Column,
                  target: DataFrame, targetText: Column,
                  topK: Int, k: Double = 0.5,
-                 salt: String = ""): DataFrame = {
+                 salt: String = "",
+                 corpusDocs: Option[Long] = None): DataFrame = {
     require(topK > 0, "need topK > 0")
     require(k > 0.0, "need smoothing k > 0")
     val rawToks = raw.select(id.as("doc_id"),
@@ -1181,7 +1183,16 @@ object Corpus {
           round(log((col("cr") + lit(k)) /
             (col("nr") + lit(k) * col("vocab"))), 6).cast("decimal(18,6)"))
           .as("lw"))
-    val scored = rawToks.join(lw, Seq("w")) // every raw token has a count
+    // same decade-3 finding as lmPerplexity (r12, measured 22.3 GB spill
+    // at sf100): when the type table outgrows AQE's broadcast conversion
+    // the unhinted join SORT-merges the token stream; SHUFFLE_HASH builds
+    // on the vocab-scale side and streams the occurrences — routed on
+    // measured corpus size so small corpora keep the broadcast
+    val lwSide =
+      if (graft.plans.PlanStats.rowCount(raw, corpusDocs)
+          > lmShuffleHashMinDocs) lw.hint("SHUFFLE_HASH")
+      else lw
+    val scored = rawToks.join(lwSide, Seq("w")) // every token has a count
       .select(col("doc_id"), col("lw"))
     val perDoc = scored.groupBy(col("doc_id")).agg(sum(col("lw")).as("slw"))
     // (hex32 + 0.5) / 2^32 ∈ (0,1) strictly: never 0 or 1, so the Gumbel
@@ -1222,19 +1233,21 @@ object Corpus {
     * keep the branches canonically identical so that reuse fires), and
     * the log/round/decimal arithmetic runs once per bigram TYPE, not once
     * per occurrence. Scoring is then ONE equi-join of the occurrence
-    * stream against that table: AQE sees the materialized lp stage
-    * (vocab-scale, small) and converts the join to broadcast — no
-    * corpus-side sort, which is precisely what spilled in the r11 shape;
-    * when a truly web-scale bigram vocabulary outgrows broadcast, the
-    * residual plan is one shuffle join keyed (w1,w2), Zipf-hot w1 being
-    * AQE's skew-split case. The per-doc reduction is a map-side-combining
+    * stream against that table: small corpora get AQE's broadcast
+    * conversion; past [[lmShuffleHashMinDocs]] the type table outgrows
+    * broadcast and the join is HINTED SHUFFLE_HASH — the unhinted
+    * sort-merge fallback sorts the occurrence stream (measured 42 GB of
+    * spill at sf100) where the hash build pays only vocab-scale state
+    * per partition, Zipf-hot w1 being AQE's skew-split case. The
+    * per-doc reduction is a map-side-combining
     * groupBy(doc_id) — per-doc partials, never an occurrence shuffle.
     * Per-bigram log-probs are ROUNDED TO 6 dp AND SUMMED AS DECIMAL, so
     * each document's score is order-independent — the same
     * partial-sum-order drift the decade-3 money aggregates hit would
     * otherwise make 10^9 doc scores engine-order-dependent. */
   def lmPerplexity(docs: DataFrame, id: Column, text: Column,
-                   k: Double = 0.5): DataFrame = {
+                   k: Double = 0.5,
+                   corpusDocs: Option[Long] = None): DataFrame = {
     require(k > 0.0, "need smoothing k > 0")
     val base = docs.select(id.as("doc_id"),
       TextFunctions.tokens(text).as("toks"))
@@ -1272,7 +1285,23 @@ object Corpus {
       .select(col("w1"), col("w2"),
         round(log((col("cb") + lit(k)) / (col("cl") + lit(k) * col("vocab"))),
           6).cast("decimal(18,6)").as("lp"))
-    val scored = bi.join(lp, Seq("w1", "w2"))
+    // HOW the occurrence stream meets the model is the decade-3 spill
+    // question (r12, measured): past toy SFs the (w1,w2,lp) table
+    // outgrows AQE's broadcast conversion, and the unhinted join falls
+    // back to SORT-merge — sorting the corpus-scale occurrence stream
+    // spilled 42 GB at sf100. A SHUFFLE_HASH hint keeps the same key
+    // partitioning but builds the hash table on the vocab-scale model
+    // side and STREAMS the occurrences — no sort, no occurrence-side
+    // spill; per-partition build state is bigram-types/shuffle-partitions
+    // (hundreds of MB per node even at web scale). Routed on measured
+    // corpus size (the decontaminateAuto device; PlanStats reads parquet
+    // footers, no scan) so small corpora keep the strictly-better
+    // broadcast conversion.
+    val model =
+      if (graft.plans.PlanStats.rowCount(docs, corpusDocs)
+          > lmShuffleHashMinDocs) lp.hint("SHUFFLE_HASH")
+      else lp
+    val scored = bi.join(model, Seq("w1", "w2"))
       .select(col("doc_id"), col("lp"))
     val perDoc = scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
@@ -1294,6 +1323,16 @@ object Corpus {
         avg.as("avg_logp"),
         round(exp(-avg), 4).as("ppl"))
   }
+
+  /** Corpus-size threshold above which [[lmPerplexity]] / [[dsirSample]]
+    * hint their model-side join SHUFFLE_HASH instead of trusting AQE's
+    * broadcast conversion: past ~1M docs the type tables (bigram types
+    * for the LM, word types for DSIR) outgrow broadcast and the unhinted
+    * fallback is a sort-merge join that SORTS THE OCCURRENCE STREAM —
+    * measured 42 GB (lm) / 22 GB (dsir) of spill at sf100, all of it
+    * eliminated by hash-building on the vocab-scale side. Below the
+    * threshold broadcast is strictly better and the plan is left alone. */
+  private[operators] val lmShuffleHashMinDocs: Long = 1L << 20
 
   /** Build an [[LmScorer]] — the STREAMING deployment of [[lmPerplexity]]:
     * the bigram model is trained ONCE on the (static) reference corpus —

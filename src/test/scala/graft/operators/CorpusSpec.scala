@@ -929,6 +929,30 @@ class CorpusSpec extends SparkSpecBase {
     assert(enc.map(_._2).toSeq == Seq(10L, 8L, 24L, 12L))
   }
 
+  test("lm/dsir model joins route SHUFFLE_HASH past the corpus threshold") {
+    // above the threshold: the hint must materialize as a shuffled hash
+    // join (the sort-merge fallback sorts the occurrence stream — the
+    // 42/22 GB sf100 spill); below: plan left to AQE (broadcast)
+    val big = Corpus.lmPerplexity(docs, col("doc_id"), col("text"),
+      corpusDocs = Some((1L << 20) + 1))
+    assert(big.queryExecution.executedPlan.toString
+      .contains("ShuffledHashJoin"), "hint did not take")
+    val small = Corpus.lmPerplexity(docs, col("doc_id"), col("text"),
+      corpusDocs = Some(1000L))
+    // branch identity: the join strategy must not move a single value
+    val a = big.orderBy("doc_id").collect().toSeq
+    val b = small.orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    val bigD = Corpus.dsirSample(docs, col("doc_id"), col("text"),
+      docs.limit(50), col("text"), topK = 20,
+      corpusDocs = Some((1L << 20) + 1))
+    assert(bigD.queryExecution.executedPlan.toString
+      .contains("ShuffledHashJoin"), "dsir hint did not take")
+    val smallD = Corpus.dsirSample(docs, col("doc_id"), col("text"),
+      docs.limit(50), col("text"), topK = 20, corpusDocs = Some(1000L))
+    assert(bigD.collect().toSeq == smallD.collect().toSeq)
+  }
+
   test("bpeEncodeVocab ≡ bpeEncode on trained merge tables") {
     val fixtures = Seq(
       // the Sennrich corpus, 3 trained merges
