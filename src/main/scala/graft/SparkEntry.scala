@@ -1469,7 +1469,11 @@ object SparkEntry {
       // bit-equality) and scores the stream batches against the same
       // persisted count frames.
       val scorer = Corpus.lmScorer(docs, col("doc_id"), col("text"), k = 0.5)
-      val scored = scorer.score(docs, col("doc_id"), col("text"))
+      // the ranking pass scores the WHOLE corpus: declare its size (free,
+      // parquet footers) so the model joins route SHUFFLE_HASH past the
+      // threshold instead of sort-merging the occurrence stream
+      val scored = scorer.score(docs, col("doc_id"), col("text"),
+          batchDocs = Some(graft.plans.PlanStats.rowCount(docs)))
         .filter(col("ppl").isNotNull)
         .select(col("doc_id"), col("ppl"))
         .persist()

@@ -1663,8 +1663,14 @@ final class LmScorer private[operators] (
 
   /** Score one (micro-)batch: (doc_id, n_bigrams, avg_logp, ppl) — the
     * [[Corpus.lmPerplexity]] schema; < 2-token docs score NULL, never
-    * vanish. */
-  def score(batch: DataFrame, id: Column, text: Column): DataFrame = {
+    * vanish. `batchDocs`: caller-known batch size — pass it when scoring
+    * a CORPUS-SCALE frame (the ccnet twin ranks the whole corpus through
+    * this scorer) so the model joins route SHUFFLE_HASH past
+    * [[Corpus.lmShuffleHashMinDocs]]; left at None, micro-batches keep
+    * the planner's choice (broadcast when the persisted frames fit,
+    * else a sort-merge whose sort side is the SMALL batch). */
+  def score(batch: DataFrame, id: Column, text: Column,
+            batchDocs: Option[Long] = None): DataFrame = {
     val base = batch.select(id.as("doc_id"),
       graft.functions.TextFunctions.tokens(text).as("toks"))
     val bi = base.filter(size(col("toks")) >= 2)
@@ -1675,13 +1681,20 @@ final class LmScorer private[operators] (
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     // out-of-corpus bigrams need BOTH left-outer joins (an unseen w2
     // under a seen w1 still has a real cl), so the lp-table collapse the
-    // batch operator uses doesn't apply — but both model frames are
-    // PERSISTED with materialized stats, so the planner broadcasts them
-    // natively and each micro-batch is map-side joins + a per-doc
-    // combining agg: zero batch-side shuffle of occurrences.
+    // batch operator uses doesn't apply. When the SCORED side is corpus-
+    // scale (the ccnet twin's ranking pass), an unhinted plan sort-merges
+    // and sorts the occurrence stream TWICE ((w1,w2) then w1) — the
+    // same 42 GB sf100 spill lmPerplexity measured — so a declared-large
+    // batch hints both model joins SHUFFLE_HASH (build on the persisted
+    // vocab-scale frames, stream the occurrences; LeftOuter+BuildRight
+    // is a supported shuffled-hash shape).
+    val big = batchDocs.exists(_ > Corpus.lmShuffleHashMinDocs)
+    val (bcSide, lcSide) =
+      if (big) (bc.hint("SHUFFLE_HASH"), lc.hint("SHUFFLE_HASH"))
+      else (bc, lc)
     val scored = bi
-      .join(bc, Seq("w1", "w2"), "left_outer")
-      .join(lc, Seq("w1"), "left_outer")
+      .join(bcSide, Seq("w1", "w2"), "left_outer")
+      .join(lcSide, Seq("w1"), "left_outer")
       .select(col("doc_id"),
         round(log((coalesce(col("cb"), lit(0L)) + lit(k)) /
             (coalesce(col("cl"), lit(0L)) + lit(k) * lit(vocab))), 6)
