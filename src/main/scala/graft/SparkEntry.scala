@@ -889,6 +889,86 @@ object SparkEntry {
       OffsetsCommit.committable(df, col("part"), col("offset"), col("processed"))
     }),
 
+    // RECORD-LEVEL out-of-order acknowledgment — the reference's
+    // DefaultOffsetsState semantics running as a Structured Streaming
+    // state machine (OffsetsTracker / flatMapGroupsWithState keyed by
+    // partition), closing the micro-batch-granularity delta: a
+    // deterministic event log (consumed singles in offset order with
+    // md5-made gaps, then processed acks in md5-shuffled order) replays
+    // in TWO micro-batches; the final per-partition committable must
+    // equal the snapshot floor the oracle computes — the largest
+    // processed offset below the first unprocessed consumed one.
+    "offsets_ooo_stream" -> ((s, d) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.{OffsetEvent, OffsetsProgress, OffsetsTracker}
+      val ev = T(s, d, "events")
+        .filter(col("event_id") < 20000L)
+        .select((col("event_id") % 8).cast("string").as("part"),
+          expr("event_id div 8").cast("long").as("off"),
+          (substring(md5(concat(lit("oc"),
+            col("event_id").cast("string"))), 1, 1) =!= "f").as("consumed"),
+          substring(md5(concat(lit("op"),
+            col("event_id").cast("string"))), 1, 1).isin("e", "f")
+            .unary_!.as("procbit"),
+          conv(substring(md5(concat(lit("ord"),
+            col("event_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long").as("ordkey"))
+        .filter(col("consumed"))
+        .collect()
+      val consumedEvents = ev.sortBy(_.getLong(1)).map(r =>
+        OffsetEvent(r.getString(0), r.getLong(1), "consumed",
+          r.getLong(1), r.getLong(1), 10L))
+      val processedEvents = ev.filter(_.getBoolean(3))
+        .sortBy(r => (r.getLong(4), r.getLong(1))).zipWithIndex.map {
+          case (r, i) =>
+            OffsetEvent(r.getString(0), (1L << 40) + i, "processed",
+              r.getLong(1), r.getLong(1), 0L)
+        }
+      val half = ev.map(_.getLong(1)).sorted.apply(ev.length / 2)
+      def batch(pred: OffsetEvent => Boolean) =
+        (consumedEvents ++ processedEvents).filter(pred).toSeq
+      implicit val enc: org.apache.spark.sql.Encoder[OffsetEvent] =
+        org.apache.spark.sql.Encoders.product[OffsetEvent]
+      val ms = MemoryStream[OffsetEvent](s)
+      val latest = new java.util.concurrent.ConcurrentHashMap[
+        String, OffsetsProgress]()
+      val q = OffsetsTracker.track(ms.toDS()).writeStream
+        .outputMode("append")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[OffsetsProgress], _: Long) =>
+            b.collect().foreach(p => latest.put(p.partition, p)): Unit
+        }.start()
+      import scala.jdk.CollectionConverters._
+      // the committer's position: max committable seen per partition —
+      // commits prune state, after which offsetToCommit answers None
+      // ("nothing NEW") by reference semantics, so the run's outcome is
+      // the running max, exactly what a committer would have committed
+      val committedPos = scala.collection.mutable.Map.empty[String, Long]
+      def absorb(): Unit = latest.asScala.foreach { case (part, p) =>
+        p.committable.foreach(c =>
+          if (committedPos.getOrElse(part, Long.MinValue) < c)
+            committedPos(part) = c)
+      }
+      try {
+        ms.addData(batch(_.lo < half): _*)
+        q.processAllAvailable()
+        absorb()
+        // between the batches the committer commits what batch 1 earned
+        // (removeCommitted prunes state — without it the cross-batch
+        // range merge hits the reference's conservative head-strip rule
+        // and the floor stalls one commit behind)
+        val commits = committedPos.toSeq.map { case (part, c) =>
+          OffsetEvent(part, -1L, "committed", c + 1, c + 1, 0L) }
+        ms.addData(commits ++ batch(_.lo >= half): _*)
+        q.processAllAvailable()
+        absorb()
+      } finally q.stop()
+      val rows = latest.keySet().asScala.toSeq.map(part =>
+        (part, committedPos.get(part)))
+      import s.implicits._
+      rows.toDF("partition", "committable")
+    }),
+
     "dead_letter" -> ((s, d) => {
       val rules = Seq(
         "invalid_value" -> (col("value") < 0.5),
@@ -2828,6 +2908,28 @@ object SparkEntry {
         | count(*) AS consumed,
         | CAST(sum(CASE WHEN processed THEN 1 ELSE 0 END) AS BIGINT) AS processed_total
         |FROM t GROUP BY part""".stripMargin,
+
+    // the record-level state machine's run outcome must equal the
+    // snapshot floor: the largest processed offset below the first
+    // unprocessed CONSUMED offset (gaps were never consumed), or the
+    // max processed offset when nothing consumed remains unprocessed
+    "offsets_ooo_stream" ->
+      """WITH ev AS (
+        |  SELECT CAST(event_id % 8 AS VARCHAR) AS part,
+        |    event_id // 8 AS off,
+        |    substr(md5('oc' || CAST(event_id AS VARCHAR)), 1, 1) <> 'f'
+        |      AS consumed,
+        |    substr(md5('op' || CAST(event_id AS VARCHAR)), 1, 1)
+        |      NOT IN ('e', 'f') AS procbit
+        |  FROM events WHERE event_id < 20000),
+        |c AS (SELECT part, off, procbit FROM ev WHERE consumed),
+        |fu AS (SELECT part, min(CASE WHEN NOT procbit THEN off END) AS fu
+        |       FROM c GROUP BY part)
+        |SELECT c.part AS partition,
+        |  CAST(max(CASE WHEN c.procbit AND (fu.fu IS NULL OR c.off < fu.fu)
+        |           THEN c.off END) AS BIGINT) AS committable
+        |FROM c JOIN fu ON c.part = fu.part
+        |GROUP BY c.part""".stripMargin,
 
     "dead_letter" ->
       """SELECT coalesce(
