@@ -93,6 +93,31 @@ object SparkEntry {
        |SELECT doc_id, host AS domain FROM h
        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
 
+  /** Feature/label frame for the quality-classifier queries: x1 = token
+    * count / 100 (exact double), x2 = the 2-gram repetition rounded to
+    * 4 dp (quality_filter's rep2), y = the Gopher rule bundle's verdict
+    * (the label the classifier distills). Column math mirrors the
+    * quality_filter query/oracle pair exactly. */
+  private def qualityLrFeatures(s: SparkSession, d: String): DataFrame = {
+    val allStop = TextFunctions.stopwords.values.flatten.toSeq
+    T(s, d, "documents")
+      .select(col("doc_id"), col("text"),
+        TextFunctions.tokens(col("text")).as("toks"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"))
+      .select(col("doc_id"),
+        (col("n_tok").cast("double") / lit(100.0)).as("x1"),
+        round(GraftFunctions.ngramRepetition(col("toks"), 2), 4).as("x2"),
+        col("n_tok").between(10, 1000).as("len_ok"),
+        (col("n_tok") > 0 &&
+          ((length(col("text")).cast("double") - (col("n_tok") - 1)) /
+            col("n_tok")).between(2.0, 12.0)).as("wl_ok"),
+        (TextFunctions.stopwordHits(col("toks"), allStop) >= 2)
+          .as("stop_ok"))
+      .select(col("doc_id"), col("x1"), col("x2"),
+        (col("len_ok") && col("wl_ok") && col("stop_ok") &&
+          col("x2") <= 0.2).cast("int").as("y"))
+  }
+
   /** Exact cosine via SQL higher-order folds — an execution path
     * INDEPENDENT of the codegen CosineSimilarity kernel; the partial-oracle
     * invariant queries use it to cross-check reported scores (interpreted
@@ -706,6 +731,39 @@ object SparkEntry {
         .withColumn("rep_ok", col("rep2") <= 0.2)
         .withColumn("pass",
           col("len_ok") && col("wl_ok") && col("stop_ok") && col("rep_ok"))
+    }),
+
+    // Quality-CLASSIFIER training (the fastText-classifier slot):
+    // logistic regression distilled from the Gopher rule bundle, fit by
+    // Newton on decimal-exact sufficient statistics — one combinable
+    // aggregation per iteration, the 3x3 solve replayed token-for-token
+    // by the oracle's unrolled CTE iterations (the bpe_train device).
+    "quality_lr_train" -> ((s, d) => {
+      val f = qualityLrFeatures(s, d).persist()
+      try {
+        val (b0, b1, b2) =
+          Corpus.logisticNewton(f, col("y"), col("x1"), col("x2"))
+        import s.implicits._
+        Seq(("intercept", b0), ("n_tok_scaled", b1), ("rep2", b2))
+          .toDF("feature", "beta")
+      } finally { f.unpersist(): Unit }
+    }),
+
+    // ...and its APPLICATION: every document scored by the trained
+    // model (map-only — three doubles broadcast in the closure), the
+    // per-doc probability and verdict hash-compared in full.
+    "quality_lr_score" -> ((s, d) => {
+      val f = qualityLrFeatures(s, d).persist()
+      val (b0, b1, b2) =
+        Corpus.logisticNewton(f, col("y"), col("x1"), col("x2"))
+      f.unpersist()
+      val t = lit(b0) + lit(b1) * col("x1") + lit(b2) * col("x2")
+      // scaled-floor quantization (the training device): identical IEEE
+      // ops in both engines — round(double, 4) is NOT engine-stable on
+      // exact-half rationals
+      val p = floor(lit(1.0) / (lit(1.0) + exp(-t)) * lit(10000.0) +
+        lit(0.5)) / lit(10000.0)
+      f.select(col("doc_id"), p.as("p_quality"), (p >= 0.5).as("pred"))
     }),
 
     // Word-repetition quality signals (Gopher family), computed
@@ -2321,6 +2379,83 @@ object SparkEntry {
     * is a compile-time constant, so unrolling IS the loop. Degenerate
     * corpora stay consistent: an empty `m$i` makes every later stage
     * empty via NULL propagation, matching the engine's early stop. */
+  /** Unrolled Newton/IRLS iterations for the quality-classifier oracles:
+    * feats (MATERIALIZED — referenced by every iteration) then k
+    * (statistics, update) stage pairs; `b$k` holds the final (pb0, pb1,
+    * pb2). The update expressions mirror Corpus.logisticNewton's Cramer
+    * cofactors TOKEN FOR TOKEN — the decimal sums are exact rationals, so
+    * identical IEEE op order gives identical doubles, and β re-rounds to
+    * 6 dp each iteration so no 1-ulp exp() drift can carry over. */
+  private def qualityLrCtes(k: Int): String = {
+    val det = "(ha*(hd*hf - he*he) - hb*(hb*hf - hc*he) + hc*(hb*he - hc*hd))"
+    val stages = (0 until k).map { i =>
+      s"""i${i + 1} AS (SELECT
+         |   sum(CAST(floor(p * (1.0 - p) * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS sa,
+         |   sum(CAST(floor(p * (1.0 - p) * x1 * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS sb,
+         |   sum(CAST(floor(p * (1.0 - p) * x2 * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS sc,
+         |   sum(CAST(floor(p * (1.0 - p) * x1 * x1 * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS sd,
+         |   sum(CAST(floor(p * (1.0 - p) * x1 * x2 * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS se,
+         |   sum(CAST(floor(p * (1.0 - p) * x2 * x2 * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS sf,
+         |   sum(CAST(floor((y - p) * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS gu,
+         |   sum(CAST(floor((y - p) * x1 * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS gv,
+         |   sum(CAST(floor((y - p) * x2 * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS gw
+         | FROM (SELECT y, x1, x2,
+         |         1.0 / (1.0 + exp(-(pb0 + pb1 * x1 + pb2 * x2))) AS p
+         |       FROM feats, b$i)),
+         |n${i + 1} AS (SELECT
+         |   CAST(sa AS DOUBLE) / 1000000.0 + 0.001 AS ha,
+         |   CAST(sb AS DOUBLE) / 1000000.0 AS hb,
+         |   CAST(sc AS DOUBLE) / 1000000.0 AS hc,
+         |   CAST(sd AS DOUBLE) / 1000000.0 + 0.001 AS hd,
+         |   CAST(se AS DOUBLE) / 1000000.0 AS he,
+         |   CAST(sf AS DOUBLE) / 1000000.0 + 0.001 AS hf,
+         |   CAST(gu AS DOUBLE) / 1000000.0 AS gu,
+         |   CAST(gv AS DOUBLE) / 1000000.0 AS gv,
+         |   CAST(gw AS DOUBLE) / 1000000.0 AS gw, pb0, pb1, pb2
+         | FROM i${i + 1}, b$i),
+         |b${i + 1} AS (SELECT
+         |   floor((pb0 + (gu*(hd*hf - he*he) - gv*(hb*hf - hc*he) +
+         |     gw*(hb*he - hc*hd)) / $det) * 1000000.0 + 0.5)
+         |     / 1000000.0 AS pb0,
+         |   floor((pb1 + (-gu*(hb*hf - he*hc) + gv*(ha*hf - hc*hc) -
+         |     gw*(ha*he - hc*hb)) / $det) * 1000000.0 + 0.5)
+         |     / 1000000.0 AS pb1,
+         |   floor((pb2 + (gu*(hb*he - hd*hc) - gv*(ha*he - hb*hc) +
+         |     gw*(ha*hd - hb*hb)) / $det) * 1000000.0 + 0.5)
+         |     / 1000000.0 AS pb2
+         | FROM n${i + 1})""".stripMargin
+    }
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, text,
+       |   string_split(trim(text), ' ') AS toks FROM documents),
+       | fb AS MATERIALIZED (SELECT doc_id, text, toks,
+       |   CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tok,
+       |   list_transform(range(1, len(toks)),
+       |     i -> toks[i] || ' ' || toks[i+1]) AS grams
+       | FROM t),
+       | feats AS MATERIALIZED (SELECT doc_id,
+       |   CAST(n_tok AS DOUBLE) / 100.0 AS x1,
+       |   CASE WHEN len(grams) = 0 THEN 0.0
+       |        ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+       |               / len(grams), 4) END AS x2,
+       |   CAST((n_tok BETWEEN 10 AND 1000)
+       |     AND (n_tok > 0 AND
+       |          (CAST(length(text) AS DOUBLE) - (n_tok - 1)) / n_tok
+       |            BETWEEN 2.0 AND 12.0)
+       |     AND (len(list_filter(toks, x -> list_contains(
+       |       ['the','a','of','and','to','in','is','that','it','for',
+       |        'der','die','das','und','ist','nicht','ein','mit','zu','auf',
+       |        'el','la','de','que','y','en','un','por','con','para',
+       |        'le','et','est','pour','dans','sur',
+       |        '的','是','了','在','和','有','我','不','人','这'], x))) >= 2)
+       |     AND (CASE WHEN len(grams) = 0 THEN 0.0
+       |          ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+       |                 / len(grams), 4) END <= 0.2) AS INT) AS y
+       | FROM fb),
+       | b0 AS (SELECT CAST(0.0 AS DOUBLE) AS pb0, CAST(0.0 AS DOUBLE) AS pb1,
+       |        CAST(0.0 AS DOUBLE) AS pb2),
+       | ${stages.mkString(",\n")}""".stripMargin
+  }
+
   private def bpeTrainCtes(k: Int): String = {
     // every stage is AS MATERIALIZED: DuckDB inlines CTEs by default, and
     // each v-stage is referenced twice (its m-stage and the next v-stage),
@@ -2799,6 +2934,23 @@ object SparkEntry {
         | rep2 <= 0.2 AS rep_ok,
         | len_ok AND wl_ok AND stop_ok AND rep2 <= 0.2 AS pass
         |FROM c""".stripMargin,
+
+    // the classifier's three coefficients after 3 Newton iterations —
+    // DuckDB replays the training loop as unrolled CTE stages over the
+    // same decimal-exact statistics and the same Cramer solve
+    "quality_lr_train" -> (qualityLrCtes(3) + "\n" +
+      """SELECT 'intercept' AS feature, pb0 AS beta FROM b3
+        |UNION ALL SELECT 'n_tok_scaled' AS feature, pb1 AS beta FROM b3
+        |UNION ALL SELECT 'rep2' AS feature, pb2 AS beta FROM b3"""
+        .stripMargin),
+
+    "quality_lr_score" -> (qualityLrCtes(3) + "\n" +
+      """SELECT f.doc_id,
+        | floor(1.0 / (1.0 + exp(-(pb0 + pb1 * x1 + pb2 * x2))) * 10000.0
+        |   + 0.5) / 10000.0 AS p_quality,
+        | floor(1.0 / (1.0 + exp(-(pb0 + pb1 * x1 + pb2 * x2))) * 10000.0
+        |   + 0.5) / 10000.0 >= 0.5 AS pred
+        |FROM feats f, b3""".stripMargin),
 
     "embedding_centroid" ->
       """WITH x AS (SELECT label,

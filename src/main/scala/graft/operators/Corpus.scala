@@ -1090,6 +1090,85 @@ object Corpus {
       md5(norm).as("syms_md5"))
   }
 
+  /** Quality-CLASSIFIER training (the fastText-classifier slot of the
+    * GPT-3/LLaMA data pipelines: score documents with a small learned
+    * discriminative model instead of — or distilled from — hand rules):
+    * binary logistic regression over (intercept, x1, x2), fit by
+    * Newton/IRLS, each iteration ONE map-side-combinable aggregation of
+    * the nine sufficient statistics (Σw·xᵢxⱼ upper triangle + Σ(y−p)·xᵢ)
+    * and O(1) driver algebra. At 100 TB an iteration costs exactly one
+    * pass over the (persistable) feature frame — no shuffle wider than a
+    * single 9-column row — and the model is three doubles.
+    *
+    * Engine-exactness (every correctness device this repo uses, in one
+    * operator): per-row contributions are quantized to 6 dp by the
+    * SCALED-FLOOR device — floor(x·10⁶ + 0.5), pure IEEE ops on the same
+    * double, so both engines produce the IDENTICAL integer (decimal-
+    * string rounding is NOT safe here: these contributions sit on exact
+    * half-at-6dp rationals constantly — 0.25 × 2dp × 4dp products —
+    * where Spark's shortest-string HALF_UP and DuckDB's scaled-double
+    * round disagree, measured 2e-6 on this corpus's Σw·x1·x2) — and
+    * summed as DECIMAL(38,0), exact and order-independent; the Newton
+    * solve is written as EXPLICIT 3×3 Cramer cofactors whose textual
+    * operation order the DuckDB oracle mirrors token for token (same
+    * IEEE sequence → same doubles); β re-quantizes through the same
+    * scaled floor after every update, so a 1-ulp exp() divergence inside
+    * an iteration cannot propagate. A fixed ridge (1e-3 on the diagonal)
+    * keeps the solve deterministic on degenerate fixtures. The solver is
+    * deliberately arity-fixed: a general d-dimensional elimination has
+    * no stable textual op order a SQL oracle could replay. */
+  def logisticNewton(feats: DataFrame, y: Column, x1: Column, x2: Column,
+                     iters: Int = 3, ridge: Double = 0.001)
+      : (Double, Double, Double) = {
+    require(iters > 0, "need iters > 0")
+    val f = feats.select(y.cast("double").as("y"),
+      x1.cast("double").as("x1"), x2.cast("double").as("x2"))
+    // scaled-floor quantization: identical IEEE ops in both engines
+    def r6c(c: Column) =
+      floor(c * lit(1000000.0) + lit(0.5)).cast("decimal(38,0)")
+    def r6(x: Double): Double =
+      math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    var (b0, b1, b2) = (0.0, 0.0, 0.0)
+    var k = 0
+    while (k < iters) {
+      val t = lit(b0) + lit(b1) * col("x1") + lit(b2) * col("x2")
+      val p = lit(1.0) / (lit(1.0) + exp(-t))
+      val w = p * (lit(1.0) - p)
+      val row = f.agg(
+        sum(r6c(w)).as("sa"),
+        sum(r6c(w * col("x1"))).as("sb"),
+        sum(r6c(w * col("x2"))).as("sc"),
+        sum(r6c(w * col("x1") * col("x1"))).as("sd"),
+        sum(r6c(w * col("x1") * col("x2"))).as("se"),
+        sum(r6c(w * col("x2") * col("x2"))).as("sf"),
+        sum(r6c(col("y") - p)).as("gu"),
+        sum(r6c((col("y") - p) * col("x1"))).as("gv"),
+        sum(r6c((col("y") - p) * col("x2"))).as("gw")).collect().head
+      def d(i: Int) = row.getDecimal(i).doubleValue / 1000000.0
+      // textual op order below is MIRRORED by the SQL oracle — edit both
+      val ha = d(0) + ridge
+      val hb = d(1)
+      val hc = d(2)
+      val hd = d(3) + ridge
+      val he = d(4)
+      val hf = d(5) + ridge
+      val gu = d(6)
+      val gv = d(7)
+      val gw = d(8)
+      val det = ha * (hd * hf - he * he) - hb * (hb * hf - hc * he) +
+        hc * (hb * he - hc * hd)
+      val d0 = (gu * (hd * hf - he * he) - gv * (hb * hf - hc * he) +
+        gw * (hb * he - hc * hd)) / det
+      val d1 = (-gu * (hb * hf - he * hc) + gv * (ha * hf - hc * hc) -
+        gw * (ha * he - hc * hb)) / det
+      val d2 = (gu * (hb * he - hd * hc) - gv * (ha * he - hb * hc) +
+        gw * (ha * hd - hb * hb)) / det
+      b0 = r6(b0 + d0); b1 = r6(b1 + d1); b2 = r6(b2 + d2)
+      k += 1
+    }
+    (b0, b1, b2)
+  }
+
   /** PII redaction (the Dolma / RefinedWeb scrubbing stage): replace
     * email addresses, IPv4 addresses, and NNN-NNN-NNNN phone numbers with
     * typed placeholder tokens (Dolma's `|||EMAIL_ADDRESS|||` convention),

@@ -929,6 +929,59 @@ class CorpusSpec extends SparkSpecBase {
     assert(enc.map(_._2).toSeq == Seq(10L, 8L, 24L, 12L))
   }
 
+  test("logisticNewton: partitioning-stable, matches a local reference") {
+    // separable-ish fixture: y depends on x1 with noise-free margin
+    val rows = (0 until 400).map { i =>
+      val x1 = (i % 40) / 10.0
+      val x2 = ((i * 7) % 10) / 10.0
+      (if (x1 > 2.0) 1 else 0, x1, x2)
+    }
+    val f = rows.toDF("y", "x1", "x2")
+    val got = Corpus.logisticNewton(f, col("y"), col("x1"), col("x2"))
+    val rep = Corpus.logisticNewton(f.repartition(13), col("y"),
+      col("x1"), col("x2"))
+    assert(got == rep, "beta must not depend on partitioning")
+    // local reference: same quantization, same Cramer, plain Scala
+    def fit(data: Seq[(Int, Double, Double)]): (Double, Double, Double) = {
+      def q6(x: Double) = math.floor(x * 1000000.0 + 0.5)
+      var (b0, b1, b2) = (0.0, 0.0, 0.0)
+      for (_ <- 0 until 3) {
+        var Array(sa, sb, sc, sd, se, sf, gu, gv, gw) = Array.fill(9)(0.0)
+        data.foreach { case (y, x1, x2) =>
+          val p = 1.0 / (1.0 + math.exp(-(b0 + b1 * x1 + b2 * x2)))
+          val w = p * (1.0 - p)
+          sa += q6(w); sb += q6(w * x1); sc += q6(w * x2)
+          sd += q6(w * x1 * x1); se += q6(w * x1 * x2)
+          sf += q6(w * x2 * x2)
+          gu += q6(y - p); gv += q6((y - p) * x1); gw += q6((y - p) * x2)
+        }
+        val ha = sa / 1000000.0 + 0.001; val hb = sb / 1000000.0
+        val hc = sc / 1000000.0; val hd = sd / 1000000.0 + 0.001
+        val he = se / 1000000.0; val hf = sf / 1000000.0 + 0.001
+        val (u, v, w2) = (gu / 1000000.0, gv / 1000000.0, gw / 1000000.0)
+        val det = ha * (hd * hf - he * he) - hb * (hb * hf - hc * he) +
+          hc * (hb * he - hc * hd)
+        def r6(x: Double) = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+        val n0 = b0 + (u * (hd * hf - he * he) - v * (hb * hf - hc * he) +
+          w2 * (hb * he - hc * hd)) / det
+        val n1 = b1 + (-u * (hb * hf - he * hc) + v * (ha * hf - hc * hc) -
+          w2 * (ha * he - hc * hb)) / det
+        val n2 = b2 + (u * (hb * he - hd * hc) - v * (ha * he - hb * hc) +
+          w2 * (ha * hd - hb * hb)) / det
+        b0 = r6(n0); b1 = r6(n1); b2 = r6(n2)
+      }
+      (b0, b1, b2)
+    }
+    val want = fit(rows)
+    assert(got == want, s"distributed $got vs local $want")
+    // sanity: the learned model separates the label it was trained on
+    val (b0, b1, _) = got
+    def p(x1: Double, x2: Double) =
+      1.0 / (1.0 + math.exp(-(b0 + b1 * x1 + got._3 * x2)))
+    assert(p(3.5, 0.5) > 0.5 && p(0.5, 0.5) < 0.5,
+      s"model failed to separate: $got")
+  }
+
   test("lm/dsir model joins route SHUFFLE_HASH past the corpus threshold") {
     // above the threshold: the hint must materialize as a shuffled hash
     // join (the sort-merge fallback sorts the occurrence stream — the
