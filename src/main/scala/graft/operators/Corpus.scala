@@ -578,16 +578,29 @@ object Corpus {
     val evalGrams = eval
       .select(explode(TextFunctions.wordNGrams(evalText, n)).as("__cr_g"))
       .distinct()
-    val perDoc = train.select(id.as("doc_id"),
-      array_distinct(TextFunctions.wordNGrams(text, n)).as("__cr_gs"))
-    val hits = perDoc
-      .select(col("doc_id"), explode(col("__cr_gs")).as("__cr_g"))
-      .join(broadcast(evalGrams), Seq("__cr_g"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("__cr_hits"))
-    perDoc.select(col("doc_id"), size(col("__cr_gs")).as("n_grams"))
-      .join(hits, Seq("doc_id"), "left_outer")
+    // ONE corpus pass (r12 optimization, guide §2.3/§2.4): the per-doc
+    // gram size rides the exploded stream instead of a second branch —
+    // the old two-branch shape evaluated the tokenize+n-gram projection
+    // TWICE (sizes + hits) and paid a doc_id join-back exchange to
+    // reunite them. explode_outer keeps gram-less docs as one null-gram
+    // row (a null can never equi-match the null-free distinct eval gram
+    // set, so it counts 0 — exactly the old left_outer coalesce), the
+    // broadcast left_outer probe streams every gram map-side exactly as
+    // the old left_semi did, and count(__cr_hit) over the at-most-one
+    // match per distinct gram reproduces the semi-join count. Same rows,
+    // same values; 2 corpus scans → 1, one join + one exchange fewer.
+    val hits = train
+      .select(id.as("doc_id"),
+        array_distinct(TextFunctions.wordNGrams(text, n)).as("__cr_gs"))
+      .select(col("doc_id"), size(col("__cr_gs")).as("n_grams"),
+        explode_outer(col("__cr_gs")).as("__cr_g"))
+      .join(broadcast(evalGrams.withColumn("__cr_hit", lit(1))),
+        Seq("__cr_g"), "left_outer")
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(col("__cr_hit")).as("__cr_hits"))
+    hits
       .select(col("doc_id"), col("n_grams"),
-        coalesce(col("__cr_hits"), lit(0L)).as("n_overlap"))
+        col("__cr_hits").as("n_overlap"))
       .withColumn("overlap_frac",
         when(col("n_grams") === 0, lit(0.0))
           .otherwise(round(

@@ -751,13 +751,34 @@ object Dedup {
     // duplicate-insensitive, so deduping would buy nothing but a shuffle.
     val sym = edges.select(col(src).as("u"), col(dst).as("v"))
       .union(edges.select(col(dst).as("u"), col(src).as("v")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = materialize(sym.select(col("u").as("id"))
       .distinct()
       .select(col("id"), col("id").as("comp")))
     // no edges -> no nodes: already the fixpoint (and labelSum of an
     // empty frame is null, which the convergence compare must never see)
-    if (labels.isEmpty) { sym.unpersist(); return labels }
+    if (labels.isEmpty) return labels
+    // Edges + one self-loop per node, persisted once (r12 optimization,
+    // guide §2.4): the self-loops fold the node's own label into the
+    // neighbor-min aggregation, which deletes the old per-round left-join
+    // of labels against the neighbor minima (one join + one exchange
+    // fewer per round): min(comp(v) : v ∈ N(u) ∪ {u}) ≡
+    // least(comp(u), coalesce(nbrMin, comp(u))) row for row.
+    //
+    // PRE-PARTITIONING on the per-round join key is routed on measured
+    // node count (one cached-read count; the lmShuffleHashMinDocs
+    // device): below ~2^20 nodes the 16 B/node label frame broadcasts
+    // every round, the edge frame never shuffles, and an explicit
+    // repartition would ADD the only exchange in the loop (measured
+    // +2 s / +3 MB shuffle across the five sf0.1 cluster queries).
+    // Above it the label side outgrows broadcast, every round's join
+    // re-shuffles the 2|E|-row edge frame — the heavy side, which must
+    // cross the wire ONCE, at persist time — while each round then
+    // shuffles only the labels (16 B/node) into the cached layout.
+    val manyNodes = labels.count() > (1L << 20)
+    val symSelf =
+      sym.union(labels.select(col("id").as("u"), col("id").as("v")))
+    val symPlus = (if (manyNodes) symSelf.repartition(col("v")) else symSelf)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
     // prevSum lazily seeded by round 1's result: labels start at comp=id,
@@ -768,13 +789,11 @@ object Dedup {
     var converged = false
     while (!converged && iter < maxIter) {
       // (1) neighbor-min: smallest label among self and all neighbors
-      val nbrMin = sym
+      // (self via the persisted self-loops — no separate labels join)
+      val stepped = symPlus
         .join(labels.select(col("id").as("v"), col("comp").as("vcomp")), "v")
-        .groupBy("u").agg(min(col("vcomp")).as("nbr"))
-        .select(col("u").as("id"), col("nbr"))
-      val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+        .groupBy("u").agg(min(col("vcomp")).as("comp"))
+        .select(col("u").as("id"), col("comp"))
       // (2) pointer jump: comp := comp(comp). comp(x) <= x, so every label
       // is itself a node id and the inner join always matches.
       val next = materialize(stepped
@@ -788,7 +807,7 @@ object Dedup {
       labels = next
       iter += 1
     }
-    sym.unpersist()
+    symPlus.unpersist()
     if (!converged)
       throw new graft.GraftException(
         s"connectedComponents did not converge in $maxIter rounds — " +

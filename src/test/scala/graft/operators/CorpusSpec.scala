@@ -333,11 +333,20 @@ class CorpusSpec extends SparkSpecBase {
   }
 
   test("contaminationReport broadcasts eval grams; doc text never shuffles") {
-    val plan = Corpus.contaminationReport(docs, col("doc_id"), col("text"),
+    // r12: the probe is a broadcast LEFT OUTER against the (distinct,
+    // hit-flagged) eval grams — count(hit) over at-most-one match per
+    // distinct gram ≡ the former semi-join count, and carrying n_grams on
+    // the exploded stream folds the old sizes branch in, so the corpus is
+    // scanned/tokenized ONCE instead of twice
+    val qe = Corpus.contaminationReport(docs, col("doc_id"), col("text"),
         docs.filter(col("doc_id") < 10), col("text"), n = 3)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
-      s"eval-gram probe must be a broadcast semi join:\n$plan")
+      .queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),
+      s"eval-gram probe must be a broadcast outer join:\n$plan")
+    // one corpus pass: the train side's scan+n-gram subtree appears once
+    assert("LeftOuter".r.findAllIn(plan).size == 1,
+      s"exactly one probe join expected:\n$plan")
   }
 
   test("bpePairCounts: hand-computed counts, tie-break, 1-char words") {
