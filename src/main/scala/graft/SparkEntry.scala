@@ -1078,13 +1078,13 @@ object SparkEntry {
       val docs = T(s, d, "documents")
       val p = Dedup.simhashPairs(docs, col("doc_id"), col("text"),
         maxHamming = 3)
-      // r12: localCheckpoint — `sig` feeds the exact reference twice and
-      // withSig twice, and each reference re-ran the corpus
-      // tokenize+simhash kernel (4 scans → 1; the twins' documented
-      // materialization pattern, 16 B/doc).
+      // r12 probe, REVERTED: localCheckpointing this 16 B/doc signature
+      // frame measured wall-neutral (2.14 → 2.13 s min-of-3 — the
+      // broadcast builds already dedup via ReusedExchange) and its
+      // Scan ExistingRDD drops the query out of Tungsten, tripping
+      // PlanHygieneSpec's whole-inventory codegen guard.
       val sig = docs.select(col("doc_id"),
         GraftFunctions.simhash(TextFunctions.tokens(col("text"))).as("sim"))
-        .localCheckpoint()
       // VERIFICATION HARNESS, not a production path: the exact reference
       // is all-pairs — quadratic by construction — and runs at oracle SFs
       // only. The operator above (banded blocking) is the scale path.

@@ -755,8 +755,11 @@ object Dedup {
       .distinct()
       .select(col("id"), col("id").as("comp")))
     // no edges -> no nodes: already the fixpoint (and labelSum of an
-    // empty frame is null, which the convergence compare must never see)
-    if (labels.isEmpty) return labels
+    // empty frame is null, which the convergence compare must never see).
+    // count(), not isEmpty: the same single action also yields the node
+    // count the pre-partitioning route below needs — no extra job.
+    val nNodes = labels.count()
+    if (nNodes == 0L) return labels
     // Edges + one self-loop per node, persisted once (r12 optimization,
     // guide §2.4): the self-loops fold the node's own label into the
     // neighbor-min aggregation, which deletes the old per-round left-join
@@ -765,8 +768,8 @@ object Dedup {
     // least(comp(u), coalesce(nbrMin, comp(u))) row for row.
     //
     // PRE-PARTITIONING on the per-round join key is routed on measured
-    // node count (one cached-read count; the lmShuffleHashMinDocs
-    // device): below ~2^20 nodes the 16 B/node label frame broadcasts
+    // node count (from the emptiness action above; the
+    // lmShuffleHashMinDocs device): below ~2^20 nodes the 16 B/node label frame broadcasts
     // every round, the edge frame never shuffles, and an explicit
     // repartition would ADD the only exchange in the loop (measured
     // +2 s / +3 MB shuffle across the five sf0.1 cluster queries).
@@ -774,7 +777,7 @@ object Dedup {
     // re-shuffles the 2|E|-row edge frame — the heavy side, which must
     // cross the wire ONCE, at persist time — while each round then
     // shuffles only the labels (16 B/node) into the cached layout.
-    val manyNodes = labels.count() > (1L << 20)
+    val manyNodes = nNodes > (1L << 20)
     val symSelf =
       sym.union(labels.select(col("id").as("u"), col("id").as("v")))
     val symPlus = (if (manyNodes) symSelf.repartition(col("v")) else symSelf)
