@@ -20,6 +20,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // r13 persist hygiene: queries whose RETURNED plan reads an in-query
+      // cache (pipeline_full, ccnet_bucket) cannot unpersist it themselves;
+      // dropping every cache here (a) caps the 137-dump session's storage
+      // memory and (b) guarantees no query ever reads a PREDECESSOR's
+      // cache through CacheManager's canonicalized-plan matching — each
+      // dump computes from the parquet inputs alone.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -717,8 +717,9 @@ object Dedup {
     * analysis itself OOMs long before any data moves. Checkpointing
     * truncates both lineage and plan to constant depth. Nothing is
     * collected to the driver — convergence is detected from the sum of
-    * labels, which strictly decreases until fixpoint (one scalar action
-    * per round).
+    * labels, which strictly decreases until fixpoint; the sum rides the
+    * checkpoint materialization as an observe() metric (r13), so each
+    * round is ONE Spark job, not checkpoint + aggregation.
     *
     * `checkpointDir`: None (default) uses `localCheckpoint` — blocks live
     * on executors, right for a single-JVM run, but an executor loss kills
@@ -736,9 +737,17 @@ object Dedup {
     * configured yet; if one already is, it wins and this parameter's
     * value is ignored (reliable checkpointing still happens, into the
     * pre-configured directory). */
+  /** Times the observe-folded convergence statistic fell back to its own
+    * aggregation job (diagnostics: a spec pins this at 0 — the fold IS
+    * the optimization; the fallback only guards against a Spark release
+    * changing checkpoint's execution-event behavior). */
+  private[graft] val ccObserveFallbacks =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   def connectedComponents(edges: DataFrame, src: String, dst: String,
                           maxIter: Int = 25,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          prePartitionMinNodes: Long = 1L << 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val sc = edges.sparkSession.sparkContext
     // never clobber an application-configured dir (session-global state)
@@ -749,8 +758,13 @@ object Dedup {
       else df.localCheckpoint(true)
     // No distinct over the symmetrized edges: min-aggregation is
     // duplicate-insensitive, so deduping would buy nothing but a shuffle.
+    // Persisted BRIEFLY (dropped after round 1): the distinct-nodes
+    // materialization below and symPlus's first caching both consume sym,
+    // and without the cache the upstream edge pipeline (an LSH candidate
+    // generator at scale) would run end to end twice (r12-ADVICE item).
     val sym = edges.select(col(src).as("u"), col(dst).as("v"))
       .union(edges.select(col(dst).as("u"), col(src).as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = materialize(sym.select(col("u").as("id"))
       .distinct()
       .select(col("id"), col("id").as("comp")))
@@ -759,7 +773,7 @@ object Dedup {
     // count(), not isEmpty: the same single action also yields the node
     // count the pre-partitioning route below needs — no extra job.
     val nNodes = labels.count()
-    if (nNodes == 0L) return labels
+    if (nNodes == 0L) { sym.unpersist(); return labels }
     // Edges + one self-loop per node, persisted once (r12 optimization,
     // guide §2.4): the self-loops fold the node's own label into the
     // neighbor-min aggregation, which deletes the old per-round left-join
@@ -777,7 +791,7 @@ object Dedup {
     // re-shuffles the 2|E|-row edge frame — the heavy side, which must
     // cross the wire ONCE, at persist time — while each round then
     // shuffles only the labels (16 B/node) into the cached layout.
-    val manyNodes = nNodes > (1L << 20)
+    val manyNodes = nNodes > prePartitionMinNodes
     val symSelf =
       sym.union(labels.select(col("id").as("u"), col("id").as("v")))
     val symPlus = (if (manyNodes) symSelf.repartition(col("v")) else symSelf)
@@ -799,15 +813,38 @@ object Dedup {
         .select(col("u").as("id"), col("comp"))
       // (2) pointer jump: comp := comp(comp). comp(x) <= x, so every label
       // is itself a node id and the inner join always matches.
-      val next = materialize(stepped
+      val jumped = stepped
         .join(stepped.select(col("id").as("jid"), col("comp").as("jcomp")),
           col("comp") === col("jid"))
-        .select(col("id"), col("jcomp").as("comp")))
-      val s = labelSum(next)
+        .select(col("id"), col("jcomp").as("comp"))
+      // Convergence statistic folded INTO the materialization (r13, guide
+      // §2.4/§1): CollectMetrics rides the physical plan the eager
+      // checkpoint executes, so the labelSum no longer costs its own job
+      // per round (was: checkpoint job + cached-read aggregation job —
+      // this halves the loop's job count, fixed scheduling overhead that
+      // dominates small rounds and is pure waste at any scale). The
+      // checkpoint truncates the returned plan as before; the metrics
+      // node lives only in the discarded pre-checkpoint plan. The sum is
+      // read straight off the executed plan's accumulators
+      // (queryExecution.observedMetrics) — no listener, no wait; if a
+      // Spark release ever stopped collecting metrics for checkpoint
+      // actions, the explicit aggregation is the fallback (correctness
+      // identical, one extra job — a spec pins that it never fires).
+      val obsDf = jumped.observe("cc_labelsum",
+        sum(col("comp").cast("decimal(38,0)")).as("labelsum"))
+      val next = materialize(obsDf)
+      val s = obsDf.queryExecution.observedMetrics.get("cc_labelsum")
+        .map(_.getDecimal(0)).filter(_ != null) match {
+        case Some(d) => d
+        case None => ccObserveFallbacks.incrementAndGet(); labelSum(next)
+      }
       converged = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s
       labels.unpersist()
       labels = next
+      // symPlus is fully cached once round 1's join consumed it — the
+      // brief sym cache has served both of its readers by then
+      if (iter == 0) sym.unpersist()
       iter += 1
     }
     symPlus.unpersist()

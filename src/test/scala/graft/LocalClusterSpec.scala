@@ -86,6 +86,18 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.speculation.interval", "50ms")
       .config("spark.speculation.multiplier", "1.2")
       .config("spark.speculation.quantile", "0.25")
+      // r13 flake hardening (the round-12 driver gate failed with a netty
+      // transport-teardown tail — the signature of a kill-heavy test
+      // exhausting retry budgets on a LOADED box, where the standalone
+      // master relaunches executors slowly and the same task can fail
+      // several times against half-registered executors before one run
+      // sticks). The kills these tests inject are the point; aborting the
+      // job on the default 4 task failures / 4 consecutive stage attempts
+      // is not. Generous budgets keep the fault injection meaningful
+      // (every failure still recovers THROUGH the recovery machinery)
+      // while removing the load-dependent abort.
+      .config("spark.task.maxFailures", "16")
+      .config("spark.stage.maxConsecutiveAttempts", "10")
       .getOrCreate()
     s.sparkContext.addSparkListener(listener)
     s
@@ -172,16 +184,30 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(expr("bit_xor(xxhash64(doc_id))").as("hs"), count(lit(1)).as("n"))
       .select(slowReduce(col("hs")).as("hs"), col("lang"), col("n"))
     val clean = RowCanon.collect(plan(docs))
-    val before = listener.lostExecutorTasks.get()
-    val killer = new Thread(() => {
-      Thread.sleep(1500) // let the map stage finish and the reduce start
-      killOwnExecutors()
-    })
-    killer.start()
-    val survived = RowCanon.collect(plan(docs))
-    killer.join()
-    assert(listener.lostExecutorTasks.get() > before,
-      "the kill landed after the job finished — the test proved nothing")
+    // r13: retry the scenario instead of failing it when the kill lands
+    // after the job already finished (single-shot timing flaked under
+    // box load — the job's wall-clock varies 5-10x there); every attempt
+    // still requires full result equality, only the proved-nothing case
+    // re-arms.
+    var landed = false
+    var survived: Seq[String] = Seq.empty
+    var attempt = 0
+    while (!landed && attempt < 5) {
+      FaultInjection.slept.clear() // re-arm the straggler for this attempt
+      val before = listener.lostExecutorTasks.get()
+      val killer = new Thread(() => {
+        Thread.sleep(1500) // let the map stage finish and the reduce start
+        killOwnExecutors()
+      })
+      killer.start()
+      survived = RowCanon.collect(plan(docs))
+      killer.join()
+      landed = listener.lostExecutorTasks.get() > before
+      attempt += 1
+    }
+    assert(landed,
+      s"the kill landed after the job finished in all $attempt attempts " +
+        "— the test proved nothing")
     assert(clean == survived, RowCanon.diff(clean, survived))
   }
 
@@ -209,16 +235,26 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       edges, "s", "d", checkpointDir = Some(ckpt)))
     val clean = run()
     assert(clean.size == 5001, s"expected 5000 labeled nodes, got ${clean.size - 1}")
-    val before = listener.lostExecutorTasks.get()
-    val killer = new Thread(() => {
-      Thread.sleep(2000)
-      killOwnExecutors()
-    })
-    killer.start()
-    val survived = run()
-    killer.join()
-    assert(listener.lostExecutorTasks.get() > before,
-      "the kill landed outside the closure — the test proved nothing")
+    // r13: retry-until-landed (see the executor-loss test) — fixed-delay
+    // kills raced the closure's load-dependent wall-clock
+    var landed = false
+    var survived: Seq[String] = Seq.empty
+    var attempt = 0
+    while (!landed && attempt < 5) {
+      val before = listener.lostExecutorTasks.get()
+      val killer = new Thread(() => {
+        Thread.sleep(2000)
+        killOwnExecutors()
+      })
+      killer.start()
+      survived = run()
+      killer.join()
+      landed = listener.lostExecutorTasks.get() > before
+      attempt += 1
+    }
+    assert(landed,
+      s"the kill landed outside the closure in all $attempt attempts — " +
+        "the test proved nothing")
     assert(clean == survived, RowCanon.diff(clean, survived))
   }
 
