@@ -294,7 +294,15 @@ object Bench {
     val medians = obj(primary.map(q => q.name -> f"${q.median}%.3f"))
     val jobsObj = obj(primary.map(q => q.name -> q.jobs.toString))
     val tasksObj = obj(primary.map(q => q.name -> q.tasks.toString))
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$medians,"jobs":$jobsObj,"tasks":$tasksObj,"shuffle_mb":${mbObj(shuffleMb)},"spill_mb":${mbObj(spillMb)},"peak_mem_mb":${mbObj(peakMb)},"shuffle_regressions":[${shuffleRegs.mkString(",")}],"spill_regressions":[${spillRegs.mkString(",")}],"baseline_missing":[$missingJson],"sf":"$sfDir"$extra}"""
+    // failed queries BY NAME in the full artifact: a failed query still
+    // reports its (fast-abort) wall in `queries`, so a consumer that only
+    // reads that map — tools/sweep_isolated.py did — would silently count
+    // a guard-thrown query as a measurement (r13 finding: dedup_cluster
+    // at sf100 fails fast by the guardBlockPairs contract in 1.5 s and
+    // the sweep reported it as a 2 s success)
+    val failedJson = primary.collect { case q if !q.ok => "\"" + q.name + "\"" }
+      .mkString(",")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$medians,"jobs":$jobsObj,"tasks":$tasksObj,"shuffle_mb":${mbObj(shuffleMb)},"spill_mb":${mbObj(spillMb)},"peak_mem_mb":${mbObj(peakMb)},"failed":[$failedJson],"shuffle_regressions":[${shuffleRegs.mkString(",")}],"spill_regressions":[${spillRegs.mkString(",")}],"baseline_missing":[$missingJson],"sf":"$sfDir"$extra}"""
     println(fullLine)
     // The harness keeps only the LAST ~2000 chars of stdout; the full line
     // above (~4 KB at 107 queries) never survives that window, so a

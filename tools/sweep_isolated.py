@@ -85,7 +85,18 @@ def main() -> int:
         for k in ("queries", "shuffle_mb", "spill_mb", "peak_mem_mb",
                   "scale_ratio"):
             merged[k].update(rec.get(k) or {})
-        if q in (rec.get("queries") or {}):
+        if q in (rec.get("failed") or []):
+            # Bench reports a failed query's fast-abort wall in `queries`
+            # too — only the `failed` list tells a guard-thrown query from
+            # a measurement (r13: dedup_cluster at sf100 trips the
+            # guardBlockPairs contract in 1.5 s and looked like a success)
+            merged["failed"].append(q)
+            for k in ("queries", "shuffle_mb", "spill_mb", "peak_mem_mb",
+                      "scale_ratio"):
+                merged[k].pop(q, None)
+            print(f"[{i+1}/{len(queries)}] {q}: FAILED (reported by bench)",
+                  flush=True)
+        elif q in (rec.get("queries") or {}):
             merged["value"] += float(rec["queries"][q])
             print(f"[{i+1}/{len(queries)}] {q}: {rec['queries'][q]:.1f}s "
                   f"shuffle={merged['shuffle_mb'].get(q)}MB "
